@@ -1,0 +1,127 @@
+"""Core relational operators (SURVEY.md §2.2-2.7).
+
+These re-express the reference's driver-side or join-heavy patterns as
+single-shuffle Catalyst plans:
+
+* top-1-per-group ranking window  — reference data_utils.py:326-344 (W1)
+* count-enrichment                — reference data_utils.py:316-324 (J4),
+  rewritten from groupBy+self-join (two shuffles) to a partition window
+  (one shuffle).
+* semi/anti joins                 — reference driver-side sets
+  (data_utils.py:91,392,414-415, J5/U2) as distributed joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int = 1,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep the top-k rows per group (W1, reference data_utils.py:326-344).
+
+    ``order_by`` must be a deterministic total order within each group —
+    the reference breaks ties arbitrarily by row order (SURVEY §7.5);
+    callers here pass an explicit tiebreak column so results are stable
+    under any partitioning.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+    return out if keep_rank else out.drop(rank_col)
+
+
+def count_enrich(
+    df: DataFrame, key: str, count_col: str
+) -> DataFrame:
+    """Attach per-key occurrence counts to every row (J4+A1).
+
+    The reference computes ``groupBy(key).count()`` and left-joins it back
+    (data_utils.py:316-324) — a shuffle for the agg plus a shuffle for the
+    join. A partition window computes the same column in ONE shuffle and
+    keeps the row count unchanged (left-join semantics are preserved
+    because every row trivially matches its own key).
+    """
+    w = Window.partitionBy(key)
+    return df.withColumn(count_col, F.count(F.lit(1)).over(w))
+
+
+def semi_join(df: DataFrame, keys_df: DataFrame, on: str | list[str]) -> DataFrame:
+    """EXISTS — replaces driver-materialized `isin(set)` filters (P5/J5)."""
+    return df.join(keys_df, on, "left_semi")
+
+
+def anti_join(df: DataFrame, keys_df: DataFrame, on: str | list[str]) -> DataFrame:
+    """NOT EXISTS — replaces driver set difference (U2, data_utils.py:392)."""
+    return df.join(keys_df, on, "left_anti")
+
+
+def union_shards(shards: Sequence[DataFrame]) -> DataFrame:
+    """UNION ALL by name (U1) — schema-drift-safe, unlike the reference's
+    positional ``union`` loop (data_utils.py:145-152)."""
+    out = shards[0]
+    for s in shards[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def impute_mean(
+    df: DataFrame,
+    cols: Sequence[str],
+    means: dict[str, float] | None = None,
+    stats_df: DataFrame | None = None,
+    treat_zero_as_null: bool = False,
+) -> DataFrame:
+    """Null→mean imputation (P6+A2, reference classifier_pipeline.py:190-204).
+
+    The reference runs one ``agg({col:'avg'}).collect()`` job PER COLUMN
+    (data_utils.py:244-264). Here all means come from ONE aggregate job
+    over ``stats_df`` (train data; defaults to ``df``) and are folded into
+    the plan as literals — train-computed statistics reused on test, same
+    as the reference's ``mean_dict`` contract.
+    """
+    if means is None:
+        src = stats_df if stats_df is not None else df
+        agg_src = src
+        if treat_zero_as_null:
+            agg_src = src.select(
+                *[F.when(F.col(c) != 0.0, F.col(c)).alias(c) for c in cols]
+            )
+        row = agg_src.agg(*[F.avg(c).alias(c) for c in cols]).first()
+        means = {c: (row[c] if row[c] is not None else 1.0) for c in cols}
+    out = df
+    for c in cols:
+        fill = F.lit(float(means[c]))
+        cond = F.col(c).isNull()
+        if treat_zero_as_null:
+            cond = cond | (F.col(c) == 0.0)
+        out = out.withColumn(c, F.when(cond, fill).otherwise(F.col(c)))
+    return out
+
+
+def repair_year_bounds(
+    df: DataFrame, start_col: str = "startYear", end_col: str = "endYear",
+    default_year: int = 2000,
+) -> DataFrame:
+    """Cross-column null fill + bound repair (P6,
+    reference classifier_pipeline.py:197-204,354-360).
+
+    start←end / end←start coalesce, both-null→default, end<start→start.
+    Pure column expressions — the reference does this with four chained
+    ``withColumn(when(...))`` passes; Catalyst collapses ours into one
+    Project either way, but we also avoid its pandas round-trip upstream.
+    """
+    start = F.coalesce(F.col(start_col), F.col(end_col), F.lit(default_year))
+    end = F.coalesce(F.col(end_col), F.col(start_col), F.lit(default_year))
+    end = F.greatest(end, start)
+    return df.withColumn(start_col, start).withColumn(end_col, end)

@@ -1,0 +1,15 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the scale
+extensions) registered as a named (spark_query, oracle_sql) pair."""
+
+from .registry import ORACLES, QUERIES, query  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every query module so registration side-effects run."""
+    from . import (  # noqa: F401
+        queries_events,
+        queries_ml,
+        queries_relational,
+        queries_similarity,
+        queries_text,
+    )

@@ -1,0 +1,698 @@
+"""Relational query suite (SURVEY.md §2.2-2.7) over the TPC-H-ish testdata.
+
+Each query composes operators from ``operators.relational`` and registers a
+DuckDB oracle. Scale notes are inline: broadcasts marked where a side is a
+bounded dimension (nation/region/supplier — small at ANY scale factor);
+fact-to-fact joins are left to AQE (sort-merge with runtime skew split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import (
+    anti_join,
+    count_enrich,
+    impute_mean,
+    semi_join,
+    top_k_per_group,
+)
+from ..sources.readers import load_table
+from .registry import ROUND_DIGITS as R
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: scan → join → agg → window top-1 → sort.  This is the
+# reference's J1+A1+W1+O1 shape (count-per-entity → top-1-per-group →
+# ordered sink, reference data_utils.py:300-344,434) transplanted onto the
+# testdata star schema.
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_top_customer_per_nation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, c.c_custkey AS custkey, c.c_name AS cust_name,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R}) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY nation ORDER BY revenue DESC, custkey) AS rn
+      FROM rev
+    )
+    SELECT nation, custkey, cust_name, revenue
+    FROM ranked WHERE rn = 1 ORDER BY nation
+    """,
+)
+def flagship_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue customer per nation.
+
+    Plan shape at scale: lineitem⋈orders and ⋈customer are fact joins
+    (shuffle/SMJ, AQE-managed); nation is a 25-row dimension → broadcast.
+    The aggregate is partial+final hash agg; the window re-uses the
+    nation hash partitioning.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    rev = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
+            ).alias("revenue")
+        )
+    )
+    top = top_k_per_group(
+        rev,
+        ["nation"],
+        [F.col("revenue").desc(), F.col("custkey")],
+        k=1,
+    )
+    return top.orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A6) — TPC-H Q1 style pricing summary.
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), {R})                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), {R})                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), {R})           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {R}) AS sum_charge,
+           ROUND(AVG(l_quantity), {R})                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), {R})                              AS avg_price,
+           ROUND(AVG(l_discount), {R})                                   AS avg_disc,
+           COUNT(*)                                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped multi-aggregate: ONE scan, ONE shuffle, 8 aggs.
+
+    Contrast with the reference's per-column aggregate jobs
+    (data_utils.py:244-264 called 5×, SURVEY §4.3.4): all statistics come
+    from a single partial+final hash aggregation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), R).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), R).alias("sum_base_price"),
+            F.round(F.sum(disc_price), R).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), R).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), R).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), R).alias("avg_price"),
+            F.round(F.avg("l_discount"), R).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "group_count_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def group_count_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain group-by count (A1, reference data_utils.py:317)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "global_multi_agg",
+    oracle=f"""
+    SELECT COUNT(*)                        AS n_rows,
+           COUNT(DISTINCT o_custkey)       AS n_customers,
+           ROUND(AVG(o_totalprice), {R})   AS avg_price,
+           ROUND(MIN(o_totalprice), {R})   AS min_price,
+           ROUND(MAX(o_totalprice), {R})   AS max_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 2) AS std_price
+    FROM orders
+    """,
+)
+def global_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All global statistics in ONE job (A2/A3 — replaces the reference's
+    one-collect-per-column pattern, data_utils.py:244-264)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.avg("o_totalprice"), R).alias("avg_price"),
+        F.round(F.min("o_totalprice"), R).alias("min_price"),
+        F.round(F.max("o_totalprice"), R).alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
+    )
+
+
+@query(
+    "rollup_qty",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), {R}) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — free Catalyst capability the reference
+    lacks (SURVEY §2.4 note)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), R).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_count",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (SURVEY §2.4 extension)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "pivot_status_qty",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), {R}) AS O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), {R}) AS F
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra distinct-scan job)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), R))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / scalar expressions (P1-P8, F3-F6).
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_project_cast",
+    oracle=f"""
+    SELECT p_partkey AS partkey, p_name AS part_name, p_brand,
+           CAST(p_size AS BIGINT) AS size_l,
+           ROUND(p_retailprice * 1.1, {R}) AS marked_up
+    FROM part WHERE p_size > 25 ORDER BY partkey
+    """,
+)
+def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select/rename/cast/filter (P1/P2/P4/P7) — filter and pruning push
+    into the parquet scan (verified in tests via the physical plan)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 25)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand"),
+            F.col("p_size").cast("long").alias("size_l"),
+            F.round(F.col("p_retailprice") * 1.1, R).alias("marked_up"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@query(
+    "case_when_buckets",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice >= 150000 THEN 'big'
+                WHEN o_totalprice >= 50000  THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COUNT(*) AS n, ROUND(AVG(o_totalprice), {R}) AS avg_price
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN conditional projection (P6 family)."""
+    bucket = (
+        F.when(F.col("o_totalprice") >= 150000, "big")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("small")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), R).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "sentinel_repair",
+    oracle="""
+    SELECT COALESCE(NULLIF(l_returnflag, 'N'), 'UNK') AS flag, COUNT(*) AS n
+    FROM lineitem GROUP BY 1 ORDER BY flag
+    """,
+)
+def sentinel_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel→NULL→default repair (F4/P6, the reference's '\\N' contract,
+    data_utils.py:239) expressed as nullif+coalesce."""
+    flag = F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("UNK"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(flag.alias("flag"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("flag")
+    )
+
+
+@query(
+    "decade_bucket",
+    oracle="""
+    SELECT CONCAT(CAST(CAST(FLOOR(EXTRACT(year FROM o_orderdate) / 10) * 10 AS INT) AS VARCHAR), 's') AS decade,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1 ORDER BY decade
+    """,
+)
+def decade_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decade bucketing (F3, reference classifier_pipeline.py:373) applied
+    to the orders date: floor(year/10)*10 || 's'."""
+    decade = F.concat(
+        (F.floor(F.year("o_orderdate") / 10) * 10).cast("int").cast("string"),
+        F.lit("s"),
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(decade.alias("decade"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("decade")
+    )
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           LOWER(p_name)  AS name_lower,
+           UPPER(p_brand) AS brand_upper,
+           TRIM(CONCAT(p_name, ' ', p_brand)) AS name_brand,
+           SUBSTRING(p_name, 1, 5) AS name_head,
+           LENGTH(p_name) AS name_len,
+           REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel
+    FROM part WHERE p_partkey < 50 ORDER BY partkey
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (F1 subset that is native: lower/upper/trim/
+    concat/substring/length/regexp_replace)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 50)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.lower("p_name").alias("name_lower"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.trim(F.concat(F.col("p_name"), F.lit(" "), F.col("p_brand"))).alias(
+                "name_brand"
+            ),
+            F.substring("p_name", 1, 5).alias("name_head"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@query(
+    "impute_mean_value",
+    oracle=f"""
+    WITH m AS (SELECT AVG(value) AS mv FROM events)
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CASE WHEN event_type = 'error' THEN (SELECT mv FROM m)
+                          ELSE value END), {R}) AS avg_filled
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def impute_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-statistic imputation (P6+A2): global mean computed in ONE agg
+    job, folded into the plan as a literal — the reference's mean_dict
+    contract (classifier_pipeline.py:115-121,190-199) without driver state
+    mutation."""
+    ev = _t(spark, sf_dir, "events")
+    mean_value = ev.agg(F.avg("value")).first()[0]
+    filled = F.when(F.col("event_type") == "error", F.lit(mean_value)).otherwise(
+        F.col("value")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(filled), R).alias("avg_filled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J5).
+# ---------------------------------------------------------------------------
+
+@query(
+    "left_join_enrich",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, o.o_orderstatus, c.c_name AS cust_name,
+           c.c_mktsegment AS segment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY orderkey
+    """,
+)
+def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join with cross-named keys (J1,
+    reference classifier_pipeline.py:267-268)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderstatus"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@query(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS cust_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    ORDER BY custkey
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (J5/P5) — replaces the reference's driver-set
+    ``isin`` filter (data_utils.py:396) with a distributed semi join."""
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        semi_join(customer, big, "c_custkey")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cust_name"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "anti_join_no_urgent",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY custkey
+    """,
+)
+def anti_join_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (J5/U2) — replaces driver set-difference
+    (data_utils.py:392)."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        anti_join(customer, urgent, "c_custkey")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "count_enrich_window",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_suppkey AS suppkey,
+           COUNT(*) OVER (PARTITION BY l_suppkey) AS supp_line_count
+    FROM lineitem WHERE l_suppkey < 5
+    ORDER BY orderkey, linenumber
+    """,
+)
+def count_enrich_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-enrichment via ONE window shuffle instead of the reference's
+    groupBy+join-back double shuffle (J4, data_utils.py:316-324)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 5)
+    return (
+        count_enrich(li, "l_suppkey", "supp_line_count")
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("supp_line_count"),
+        )
+        .orderBy("orderkey", "linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows beyond top-1 (W1 + extended frame surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_suppliers_per_nation",
+    oracle="""
+    SELECT * FROM (
+      SELECT s_nationkey AS nationkey, s_suppkey AS suppkey,
+             ROUND(s_acctbal, 4) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      FROM supplier
+    ) WHERE rn <= 3 ORDER BY nationkey, rn
+    """,
+)
+def topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group with explicit deterministic tiebreak (W1 with the
+    §7.5 tie fix)."""
+    sup = _t(spark, sf_dir, "supplier")
+    out = top_k_per_group(
+        sup,
+        ["s_nationkey"],
+        [F.col("s_acctbal").desc(), F.col("s_suppkey")],
+        k=3,
+        keep_rank=True,
+    )
+    return out.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey").alias("suppkey"),
+        F.round("s_acctbal", 4).alias("acctbal"),
+        F.col("rn"),
+    ).orderBy("nationkey", "rn")
+
+
+@query(
+    "window_analytics",
+    oracle=f"""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           ROUND(o_totalprice, {R}) AS price,
+           ROUND(LAG(o_totalprice) OVER w, {R})  AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, {R}) AS next_price,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {R}) AS running_total,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY custkey, orderkey
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/rank + explicit rowsBetween running frame — the full
+    analytic-window surface the reference never exercises (SURVEY §2.5
+    note)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rankw = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 20)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", R).alias("price"),
+            F.round(F.lag("o_totalprice").over(w), R).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), R).alias("next_price"),
+            F.round(F.sum("o_totalprice").over(run), R).alias("running_total"),
+            F.rank().over(rankw).alias("price_rank"),
+        )
+        .orderBy("custkey", "orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (O1-O3) and set operations (U1-U2).
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort_limit_topn",
+    oracle=f"""
+    SELECT o_orderkey AS orderkey, ROUND(o_totalprice, {R}) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + LIMIT with a unique tiebreak (O1/O3) — Spark executes
+    this as TakeOrderedAndProject (no full sort materialization)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", R).alias("price"),
+        )
+    )
+
+
+@query(
+    "union_distinct_nationkeys",
+    oracle="""
+    SELECT DISTINCT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) ORDER BY nationkey
+    """,
+)
+def union_distinct_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + DISTINCT (U1)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct().orderBy("nationkey")
+
+
+@query(
+    "intersect_nationkeys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def intersect_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (U2) — distributed replacement for driver-side set &."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "except_nationkeys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def except_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (U2) — distributed replacement for driver-side set -.
+    ``subtract`` is EXCEPT DISTINCT (set semantics), matching SQL EXCEPT;
+    ``exceptAll`` would be bag difference."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+@query(
+    "distinct_status_priority",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# Rows-only (approximate — value can't hash-match an exact oracle).
+@query("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (SURVEY §2.4 extension). Exactness
+    is checked separately by a pytest unit test against a tolerance."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,76 @@
+"""SparkSession factory with a scale-aware config profile.
+
+Replaces the reference's ad-hoc builder (movie_pipeline/classifier_pipeline.py:89-95:
+appName + 8g driver/executor + 2g off-heap) with a profile that keeps the
+same memory-tuning intent but adds the settings that matter for correctness
+(UTC session timezone so results are oracle-comparable) and for scale
+(AQE, skew-join handling, Arrow, shuffle partitions sized to the actual
+parallelism instead of the 200 default).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Core defaults applied to every session this engine builds. On a real
+# cluster these are overridden by spark-submit/cluster conf; locally they
+# make `local[N]` behave like a well-tuned single node.
+_DEFAULTS = {
+    # Correctness: DuckDB oracle timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing, SMJ->BHJ conversion,
+    # skew-join splitting. Free wins at any scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas boundary (pandas_udf / mapInPandas / toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: we want permissive casts like the reference's '\\N' repair
+    # path, and DuckDB comparisons are done on already-clean data.
+    "spark.sql.ansi.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) (pandas/arrow default) is otherwise
+    # unreadable by Spark; read as long and let the reader layer convert
+    # back to TimestampType (sources/readers.py:load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    """Shuffle-partition count: env override, else CPU count."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "big_data_imdb_classifier_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's config profile.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so tests, bench and the driver contract all share one
+    code path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    n_shuffle = shuffle_partitions or default_parallelism()
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
+    builder = builder.config("spark.default.parallelism", str(n_shuffle))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,132 @@
+"""Source readers (SURVEY.md §2.1, S1-S6).
+
+Every reader returns a lazy DataFrame with a declared schema — no
+``inferSchema`` double-scans (reference anti-pattern, data_utils.py:119),
+no driver-side ``json.load`` of whole files (reference anti-pattern,
+data_utils.py:66-100).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TESTDATA_SCHEMAS
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table (columnar scan, pushdown-capable).
+
+    Normalizes parquet TIMESTAMP(NANOS) columns — which Spark can only
+    scan as nano-epoch longs (``spark.sql.legacy.parquet.nanosAsLong``) —
+    back to proper TimestampType via integer division to microseconds,
+    exactly what DuckDB's nanos→micros truncation does, so oracle
+    comparisons agree. The conversion is a codegen'd projection on top of
+    the scan; pushdown/pruning on other columns is unaffected.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    declared = TESTDATA_SCHEMAS.get(name)
+    if declared is not None:
+        actual = dict(df.dtypes)
+        for field in declared.fields:
+            if (
+                isinstance(field.dataType, T.TimestampType)
+                and actual.get(field.name) == "bigint"
+            ):
+                # integer `div`: float division would lose precision at
+                # nano-epoch magnitudes (~1.7e18 > 2^53).
+                df = df.withColumn(
+                    field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+                )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several testdata tables at once; defaults to all of them."""
+    use = names or tuple(TESTDATA_SCHEMAS)
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+    null_value: str | None = "\\N",
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with explicit schema (S1, reference data_utils.py:102-119).
+
+    The IMDB '\\N' sentinel is handled at scan time via ``nullValue``
+    instead of a post-hoc ``when(col == '\\N', None)`` projection
+    (reference data_utils.py:239) — one less pass, and the scan output is
+    already clean for casting.
+    """
+    reader = spark.read.schema(schema).option("header", header)
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    return reader.csv(path)
+
+
+def load_csv_glob(
+    spark: SparkSession, pattern: str, schema: T.StructType, **kw
+) -> DataFrame:
+    """Multi-file shard scan (S2).
+
+    The reference globs on the driver and folds a loop of positional
+    ``union`` calls (data_utils.py:121-157); Spark globs natively in the
+    scan node, so N shards become one multi-file FileScan — no union
+    operator, no driver listing, and partition planning sees all files.
+    """
+    return load_csv(spark, pattern, schema, **kw)
+
+
+def load_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Record-oriented JSON scan (S3, reference data_utils.py:47-64)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", True)
+    return reader.json(path)
+
+
+def load_column_dict_json(
+    spark: SparkSession, path: str, columns: list[str], key_name: str = "_idx"
+) -> DataFrame:
+    """Column-dict JSON pivot (S4) — fully distributed.
+
+    Input shape (reference ``imdb/directing.json``):
+    ``{"movie": {"0": "tt..."}, "director": {"0": "nm..."}}`` — parallel
+    index→value maps. The reference ``json.load``s the entire file on the
+    driver and zips key-intersections in Python (data_utils.py:66-100).
+
+    Spark-first: read the document as one row of MapType columns, explode
+    each map to (index, value) rows, and inner-join the columns on the
+    index — the join reproduces the reference's key-intersection
+    semantics. All three steps are Catalyst operators; nothing touches the
+    driver.
+    """
+    doc_schema = T.StructType(
+        [
+            T.StructField(c, T.MapType(T.StringType(), T.StringType()), True)
+            for c in columns
+        ]
+    )
+    doc = spark.read.schema(doc_schema).option("multiLine", True).json(path)
+
+    out: DataFrame | None = None
+    for c in columns:
+        col_df = doc.select(
+            F.explode(F.col(c)).alias(key_name, c)
+        )
+        out = col_df if out is None else out.join(col_df, key_name, "inner")
+    assert out is not None
+    return out.drop(key_name)
