@@ -1,0 +1,206 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (split /
+higher-order array functions / md5) so the hot path stays inside
+whole-stage codegen — no Python UDFs. The one genuinely non-native text op
+(NFKD unicode fold, reference data_utils.py:159-184) lives in
+``functions/nfkd.py`` as an Arrow pandas_udf.
+
+Determinism contract: every hash used for fingerprints / MinHash is
+``md5`` (identical hex output in Spark and DuckDB), which is what makes
+the dedup operators oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Token pattern shared by token ops: runs of word chars OR single
+# non-word-non-space chars (a BPE-ish "word or punctuation" split).
+BPE_ISH_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+# Small deterministic marker vocabularies for the language-ID heuristic.
+# Real language ID would use char n-gram profiles; the *operator shape*
+# (token-overlap scoring, argmax with deterministic tiebreak) is what the
+# engine provides, and it is exactly reproducible in SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "data", "query", "row"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],
+    "es": ["el", "la", "los", "de", "y", "es", "no", "con", "una", "por"],
+}
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(F.col(text) if isinstance(text, str) else text), r"\s+")
+
+
+def token_count_col(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column | str) -> Column:
+    """Sub-word-ish token count: words + individual punctuation marks."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_ratio_col(text: Column | str) -> Column:
+    """Fraction of characters that are neither word chars nor whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio_col(text: Column | str, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords (bag semantics)."""
+    toks = tokens_col(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_len_col(text: Column | str) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score_col(text: Column | str, stopwords: list[str]) -> Column:
+    """Composite heuristic quality score in [0, 1]:
+    rewards mid-length docs, some stopword mass, low punctuation density.
+    (Deliberately simple/linear so the SQL oracle can restate it exactly.)
+    """
+    n_tok = token_count_col(text)
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio_col(text, stopwords) * 5, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio_col(text) * 5, F.lit(1.0))
+    return (0.4 * length_score + 0.4 * stop_score + 0.2 * (1 - punct_penalty))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Distinct-marker-overlap score per language."""
+    distinct_toks = F.array_distinct(tokens_col(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        m = F.array(*[F.lit(x) for x in markers])
+        out[lang] = F.size(F.array_intersect(distinct_toks, m))
+    return out
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Argmax language with deterministic alphabetical tiebreak: the
+    candidate whose (score, reversed-alpha) pair is greatest wins, i.e.
+    ties go to the alphabetically-first language code."""
+    scores = lang_scores(text)
+    best = None
+    for lang in sorted(scores, reverse=True):  # later (alpha-earlier) wins ties
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            best_s, best_l = best
+            take = s >= best_s
+            best = (
+                F.when(take, s).otherwise(best_s),
+                F.when(take, F.lit(lang)).otherwise(best_l),
+            )
+    assert best is not None
+    return best[1]
+
+
+def word_shingles_col(text: Column | str, k: int) -> Column:
+    """Distinct word k-gram shingles; empty array when the doc is shorter
+    than k tokens. Built entirely from higher-order array functions."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of the trimmed text (matches DuckDB
+    md5 byte-for-byte)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(c))
+
+
+def minhash_col(shingles: Column, seed: int) -> Column:
+    """One MinHash value: min over md5(seed || ':' || shingle).
+
+    Using md5-as-permutation keeps the signature deterministic AND
+    reproducible in the DuckDB oracle — a string min over identical hex
+    digests. NULL (empty shingle set) handled by callers.
+    """
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def minhash_signature_cols(shingles: Column, num_hashes: int) -> list[Column]:
+    return [minhash_col(shingles, i) for i in range(num_hashes)]
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 64,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """SimHash over whitespace tokens using xxhash64 (JVM fast path).
+
+    Each distinct token is hashed ONCE (explode → xxhash64), then each of
+    the ``bits`` bit positions contributes ±1 to a per-document counter;
+    the sign of each counter becomes one signature bit. One shuffle
+    (groupBy id), 64 map-side-combined sums, zero Python UDFs.
+    xxhash64 differs from DuckDB's hash, so this op is rows-only checked
+    by the driver (pytest asserts the metric properties instead).
+    """
+    toks = df.select(
+        id_col, F.explode(F.array_distinct(tokens_col(text_col))).alias("_tok")
+    ).withColumn("_h", F.xxhash64("_tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(id_col, sig.alias(out_col))
+
+
+def hamming64_col(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def with_text_features(
+    df: DataFrame, text_col: str = "text", stopwords: list[str] | None = None
+) -> DataFrame:
+    """Convenience: attach the full text-analysis feature set."""
+    sw = stopwords or LANG_MARKERS["en"]
+    return (
+        df.withColumn("n_tokens", token_count_col(text_col))
+        .withColumn("n_bpe_tokens", bpe_ish_token_count_col(text_col))
+        .withColumn("punct_ratio", punct_ratio_col(text_col))
+        .withColumn("stopword_ratio", stopword_ratio_col(text_col, sw))
+        .withColumn("mean_token_len", mean_token_len_col(text_col))
+        .withColumn("quality", quality_score_col(text_col, sw))
+        .withColumn("lang_pred", lang_id_col(text_col))
+        .withColumn("fingerprint", fingerprint_col(text_col))
+    )
