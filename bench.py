@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Execution is forced with the ``noop`` sink (full plan runs distributed,
+nothing is collected to the driver) so timings measure the engine, not
+driver materialization. Each query gets one un-timed warm-up at sf0.001
+to exclude JVM/codegen warm-up from the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+# Headline set: the most expensive / representative query per capability
+# area. Names must exist in the plans registry; missing ones are skipped
+# (so bench keeps emitting numbers while capabilities are being built).
+HEADLINE = [
+    "flagship_top_customer_per_nation",  # join-heavy + window
+    "pricing_summary",                   # wide scan + 8-agg groupBy
+    "count_enrich_window",               # single-shuffle window enrich
+    "topk_suppliers_per_nation",         # window top-k
+    "window_analytics",                  # lag/lead/frames
+    "left_join_enrich",                  # fact-dim left join
+    "semi_join_big_spenders",            # semi join
+    "text_features",                     # documents text analysis
+    "dedup_exact",                       # exact dedup
+    "dedup_minhash_lsh_pairs",           # MinHash LSH banding
+    "simhash_signatures",                # SimHash
+    "knn_exact_cosine",                  # brute-force top-k ANN baseline
+    "event_window_tumbling",             # event-time tumbling agg
+    "event_sessionization",              # session windows
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from big_data_imdb_classifier_spark import plans
+    from big_data_imdb_classifier_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark(app_name="bench")
+
+    def run(name: str, sf_dir: str) -> float:
+        df = plans.QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    names = [n for n in HEADLINE if n in plans.QUERIES]
+
+    # Warm-up pass (tiny SF): JIT, codegen, Arrow init.
+    for n in names:
+        try:
+            run(n, WARMUP_SF_DIR)
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for n in names:
+        try:
+            timings[n] = round(run(n, SF_DIR), 3)
+        except Exception as e:  # keep emitting numbers even if one breaks
+            print(f"bench: {n} failed: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "headline_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons agree. The conversion is a codegen'd projection on top of
     the scan; pushdown/pruning on other columns is unaffected.
     """
+    # The nanos conf is a *runtime* SQL conf; set it on whatever session we
+    # are handed (the driver contract passes in a vanilla session that did
+    # not go through our factory — round-1 CORRECTNESS failure mode).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Spark Connect policy) — read may still work
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     declared = TESTDATA_SCHEMAS.get(name)
     if declared is not None:
