@@ -118,8 +118,11 @@ def word_shingles_col(text: Column | str, k: int) -> Column:
     than k tokens. Built entirely from higher-order array functions."""
     toks = tokens_col(text)
     n = F.size(toks)
+    # Clamp the sequence end to 1: sequence(1, 0) would produce a
+    # DESCENDING [1, 0] (step defaults to -1 when start > stop) and a
+    # 0-index slice, even though the outer when() discards the branch.
     grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return F.array_distinct(
@@ -150,9 +153,89 @@ def minhash_signature_cols(shingles: Column, num_hashes: int) -> list[Column]:
     return [minhash_col(shingles, i) for i in range(num_hashes)]
 
 
+def minhash_lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pipeline: shingle → signature → band →
+    bucket self-join → exact-Jaccard verify. Never all-pairs.
+
+    Banding: ``num_hashes`` minhashes split into ``bands`` bands of
+    ``num_hashes // bands`` rows; docs sharing any band hash become
+    candidates. The band explode is a single projection (posexplode of a
+    literal array — one scan, no union-of-B-copies), the bucket join is an
+    equi-join on (band, band_hash) whose buckets are small by
+    construction, and only candidates pay the exact-Jaccard verify. This
+    is the shape that survives 100 TB; the only skew risk is a degenerate
+    band hash shared by a huge doc cluster, which AQE skew-join splits.
+
+    md5-as-permutation keeps every step reproducible in the DuckDB oracle
+    (same hex digests, same min, same band key).
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes, "num_hashes must divide into bands"
+
+    sh = df.select(id_col, word_shingles_col(text_col, k).alias("shingles"))
+    sig = sh.select(
+        id_col,
+        "shingles",
+        *[minhash_col(F.col("shingles"), i).alias(f"mh_{i}") for i in range(num_hashes)],
+    )
+
+    def band_hash(b: int) -> Column:
+        # null-propagating concat (matches SQL ||): a doc with no
+        # shingles gets NULL band hashes and never joins.
+        parts: list[Column] = []
+        for r in range(rows):
+            if parts:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh_{b * rows + r}"))
+        return F.md5(F.concat(*parts))
+
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+            "band", "bh"
+        ),
+    ).where(F.col("bh").isNotNull())
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.greatest(F.size(F.array_union("_sa", "_sb")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
-    id_col: str,
+    id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
     out_col: str = "simhash",

@@ -1,1 +1,286 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis / dedup queries over the ``documents`` table.
+
+Wires ``operators/text.py`` (JVM higher-order functions, md5-based
+hashing) and ``functions/nfkd.py`` (Arrow pandas_udf) into the driver
+contract. Every md5-based operator gets a full DuckDB hash-match oracle —
+the whole point of choosing md5 over Spark-only hashes; xxhash64-based
+SimHash and the NFKD fold are rows-only by design.
+
+Capability parity: text analysis / dedup extends the reference's text
+surface (reference movie_pipeline/data_utils.py:159-215) to the
+training-data-pipeline operations the 100 TB brief requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.nfkd import nfkd_fold_col
+from ..operators import text as TX
+from ..sources.readers import load_table
+from .registry import ROUND_DIGITS, query
+
+_SW = TX.LANG_MARKERS["en"]  # stopword list shared with the oracle SQL
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (must mirror operators/text.py exactly).
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _SW) + "]"
+
+# distinct word 3-gram shingles (k=3), mirroring word_shingles_col
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, len(t) - 2), "
+    "i -> array_to_string(list_slice(t, i, i + 2), ' ')))"
+)
+
+
+def _mh_sql(seed: int) -> str:
+    return f"list_min(list_transform(s, x -> md5('{seed}:' || x)))"
+
+
+# ---------------------------------------------------------------------------
+# Text feature extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_features",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS} AS t FROM documents
+    )
+    SELECT
+      doc_id,
+      len(t)::BIGINT AS n_tokens,
+      len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+        AS n_bpe_tokens,
+      round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+            / greatest(length(text), 1), {ROUND_DIGITS}) AS punct_ratio,
+      round(len(list_filter(t, x -> list_contains({_SW_SQL}, x)))
+            / greatest(len(t), 1), {ROUND_DIGITS}) AS stopword_ratio,
+      round(list_sum(list_transform(t, x -> length(x)))::DOUBLE
+            / greatest(len(t), 1), {ROUND_DIGITS}) AS mean_token_len,
+      round(0.4 * least(len(t) / 50.0, 1.0)
+          + 0.4 * least((len(list_filter(t, x -> list_contains({_SW_SQL}, x)))
+                         / greatest(len(t), 1)) * 5, 1.0)
+          + 0.2 * (1 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                              / greatest(length(text), 1)) * 5, 1.0)),
+          {ROUND_DIGITS}) AS quality
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics — token counts (whitespace + BPE-ish),
+    punctuation/stopword ratios, mean token length, heuristic quality
+    score. All JVM higher-order functions on one scan; zero Python UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_col("text").cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count_col("text").cast("long").alias("n_bpe_tokens"),
+        F.round(TX.punct_ratio_col("text"), ROUND_DIGITS).alias("punct_ratio"),
+        F.round(TX.stopword_ratio_col("text", _SW), ROUND_DIGITS).alias(
+            "stopword_ratio"
+        ),
+        F.round(TX.mean_token_len_col("text"), ROUND_DIGITS).alias("mean_token_len"),
+        F.round(TX.quality_score_col("text", _SW), ROUND_DIGITS).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = "[" + ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang]) + "]"
+    return f"len(list_intersect(list_distinct(t), {markers}))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        {_lang_score_sql('de')} AS s_de,
+        {_lang_score_sql('en')} AS s_en,
+        {_lang_score_sql('es')} AS s_es
+      FROM toks
+    )
+    SELECT doc_id, lang,
+      CASE WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+           WHEN s_en >= s_es THEN 'en'
+           ELSE 'es' END AS lang_pred
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-marker language ID heuristic (distinct-token overlap argmax,
+    alphabetical tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.lang_id_col("text").alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_stats_by_source",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t, n_chars FROM documents)
+    SELECT source,
+      count(*)::BIGINT AS n_docs,
+      round(avg(len(t)), {ROUND_DIGITS}) AS avg_tokens,
+      round(avg(n_chars), {ROUND_DIGITS}) AS avg_chars
+    FROM toks GROUP BY source ORDER BY source
+    """,
+)
+def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate rollup of derived text features by source — the
+    'corpus profile' a training-data pipeline runs before filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", TX.token_count_col("text").alias("_nt"), "n_chars"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_nt"), ROUND_DIGITS).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), ROUND_DIGITS).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(text)) AS fingerprint,
+           count(*)::BIGINT AS n_copies,
+           min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY fingerprint ORDER BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup: md5 fingerprint groupBy, survivor = min doc_id.
+
+    One shuffle on the fingerprint; partial aggregation makes the map side
+    absorb duplicate mass before the exchange, so a 100 TB corpus with
+    heavy duplication shuffles roughly its distinct content only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.fingerprint_col("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks)
+    SELECT doc_id,
+      {", ".join(f"{_mh_sql(i)} AS mh_{i}" for i in range(8))}
+    FROM sh ORDER BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signature per document over distinct word 3-gram
+    shingles, md5-as-permutation (hex-min is deterministic and identical
+    in DuckDB — the design choice that makes MinHash oracle-checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", TX.word_shingles_col("text", 3).alias("shingles")
+    )
+    return sh.select(
+        "doc_id",
+        *[
+            TX.minhash_col(F.col("shingles"), i).alias(f"mh_{i}")
+            for i in range(8)
+        ],
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+    sig AS (
+      SELECT doc_id, s,
+        {", ".join(f"{_mh_sql(i)} AS mh_{i}" for i in range(8))}
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+      round(len(list_intersect(x.s, y.s))::DOUBLE
+            / greatest(len(list_distinct(list_concat(x.s, y.s))), 1),
+            {ROUND_DIGITS}) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding (4 bands × 2
+    rows over 8 hashes), verified with exact Jaccard on the shingle sets.
+    The banding keeps this strictly sub-quadratic — candidates only, never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = TX.minhash_lsh_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, num_hashes=8, bands=4
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", ROUND_DIGITS).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+@query("simhash_signatures")  # rows-only: xxhash64 has no DuckDB equivalent
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (xxhash64 token hashes, one shuffle,
+    64 map-side-combined sums). Near-dup = small hamming distance;
+    property-tested in tests/test_text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.simhash(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Normalization (F1/F2)
+# ---------------------------------------------------------------------------
+
+
+@query("text_nfkd_normalize")  # rows-only: NFKD fold is not SQL-expressible
+def text_nfkd_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``preprocess_text`` contract (NFKD fold → ASCII → punct
+    strip → trim → title-case → empty→NULL) as an Arrow pandas_udf
+    (reference movie_pipeline/data_utils.py:159-184 runs this driver-side
+    via toPandas)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", nfkd_fold_col("text").alias("norm_text")
+    ).orderBy("doc_id")

@@ -1,0 +1,149 @@
+"""Text operators: unit, property, and pipeline-quality tests."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_imdb_classifier_spark.functions.nfkd import _fold_one, nfkd_fold_col
+from big_data_imdb_classifier_spark.operators import text as TX
+
+from .conftest import SF_ORACLE
+
+# ---------------------------------------------------------------------------
+# NFKD fold (reference preprocess_text contract, data_utils.py:159-184)
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_nfkd_fold_ascii_closure_and_idempotence(s):
+    out = _fold_one(s)
+    if out is not None:
+        assert out.isascii()
+        assert out == out.strip()
+        # idempotence: folding an already-folded string is a no-op
+        assert _fold_one(out) == out
+
+
+def test_nfkd_fold_reference_examples():
+    # punctuation (incl. the em-dash) is *removed*, not space-replaced —
+    # the reference's re.sub(r'[^a-zA-Z0-9\s]', '', s) contract
+    assert _fold_one("  café—crème!  ") == "Cafecreme"
+    assert _fold_one("ŁÓDŹ 42") == "Odz 42"  # Ł has no NFKD ASCII decomposition
+    assert _fold_one("???") is None  # all-punct → empty → None
+    assert _fold_one("") is None
+    assert _fold_one(None) is None
+    assert _fold_one("hello world") == "Hello World"
+
+
+def test_nfkd_pandas_udf_matches_python(spark):
+    rows = [("  café!",), ("ABC def",), (None,), ("日本語 ok",), ("x" * 5,)]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [r.o for r in df.select(nfkd_fold_col("t").alias("o")).collect()]
+    assert got == [_fold_one(t) for (t,) in rows]
+
+
+# ---------------------------------------------------------------------------
+# Shingles / MinHash
+# ---------------------------------------------------------------------------
+
+
+def test_word_shingles_short_doc_is_empty(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",), ("",)], ["text"])
+    out = df.select(TX.word_shingles_col("text", 3).alias("s")).collect()
+    assert out[0].s == []  # n=2 < k=3 — the clamped-sequence edge case
+    assert out[1].s == ["a b c", "b c d"]
+    assert out[2].s == []
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        ["doc_id", "text"],
+    )
+    sh = df.select(
+        "doc_id", TX.word_shingles_col("text", 3).alias("s")
+    ).select("doc_id", *[TX.minhash_col(F.col("s"), i).alias(f"m{i}") for i in range(4)])
+    a, b = sh.orderBy("doc_id").collect()
+    assert [a[f"m{i}"] for i in range(4)] == [b[f"m{i}"] for i in range(4)]
+
+
+def test_lsh_pipeline_recall_and_verify(spark, duck):
+    """The banded LSH pipeline must recover every planted near-dup pair
+    (true Jaccard >= 0.7) in the sf0.01 documents table, and the emitted
+    jaccard column must let downstream filter LSH false positives."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    pairs = TX.minhash_lsh_near_dup_pairs(docs).collect()
+    cand = {(r.doc_a, r.doc_b) for r in pairs}
+
+    truth = duck.execute(
+        r"""
+        WITH d AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, len(regexp_split_to_array(trim(text),'\s+'))-2),
+              i -> array_to_string(list_slice(regexp_split_to_array(trim(text),'\s+'), i, i+2), ' '))) sh
+          FROM documents)
+        SELECT a.doc_id, b.doc_id
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+              / greatest(len(list_distinct(list_concat(a.sh,b.sh))),1) >= 0.7
+        """
+    ).fetchall()
+    truth_pairs = {(a, b) for a, b in truth}
+
+    assert truth_pairs, "testdata should contain planted near-dup pairs"
+    recall = len(cand & truth_pairs) / len(truth_pairs)
+    assert recall == 1.0, f"LSH missed planted near-dups: recall={recall}"
+    # verify column separates true pairs from banding false positives
+    verified = {(r.doc_a, r.doc_b) for r in pairs if r.jaccard >= 0.7}
+    assert verified == truth_pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_metric_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between stages during wide operations"),
+            (2, "spark shuffles data between stages during wide operations"),
+            (3, "spark shuffles data between stages during wide transforms"),
+            (4, "completely unrelated words about gardening tulips in spring"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = {r.doc_id: r.simhash for r in TX.simhash(df).collect()}
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1")
+
+    assert ham(1, 2) == 0  # identical text, identical signature
+    assert ham(1, 3) < ham(1, 4)  # near-dup closer than unrelated
+    assert ham(1, 3) <= 16
+
+
+# ---------------------------------------------------------------------------
+# Quality / language features
+# ---------------------------------------------------------------------------
+
+
+def test_quality_score_bounds(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(200)
+    sw = TX.LANG_MARKERS["en"]
+    row = docs.select(
+        F.min(TX.quality_score_col("text", sw)).alias("lo"),
+        F.max(TX.quality_score_col("text", sw)).alias("hi"),
+    ).first()
+    assert 0.0 <= row.lo <= row.hi <= 1.0
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    # no markers at all -> every score 0 -> alphabetically-first lang wins
+    df = spark.createDataFrame([("zzz qqq www",)], ["text"])
+    out = df.select(TX.lang_id_col("text").alias("l")).first()
+    assert out.l == sorted(TX.LANG_MARKERS)[0]
