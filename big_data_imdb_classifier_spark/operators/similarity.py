@@ -1,0 +1,162 @@
+"""Vector similarity search over ``array<float>`` embedding columns.
+
+Exact path: higher-order-function dot products (JVM-side, codegen) + a
+row_number window for top-k — the correctness baseline, O(Q×N) but fully
+distributed with the query side broadcast.
+
+Scale path: random-hyperplane LSH (the cosine-space analogue of MinHash
+banding). ``tables`` independent b-bit sketches; vectors that share any
+table's bucket become candidates, and only candidates pay the exact
+cosine. Hyperplanes are seeded literals compiled into the plan, so the
+sketch is a pure projection — no model object, no fitting, no shuffle
+until the bucket join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-accumulation double dot product (matches DuckDB
+    list_dot_product on DOUBLE[] to well under rounding tolerance)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (l2_norm_col(a) * l2_norm_col(b))
+
+
+def knn_exact_cosine(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the (huge) vector corpus; one pass over the corpus computes every
+    (query, candidate) similarity map-side, then a single shuffle ranks
+    per query. Deterministic tiebreak on neighbor id.
+
+    Returns (query_id, neighbor_id, rank, sim).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qe")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_ce")
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("_qe"), F.col("_ce")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("_sim").alias("sim"))
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-of-projection sketch: ``tables`` independent ``bits``-bit
+    bucket keys per vector, exploded to (id, table, bucket) rows.
+
+    The hyperplanes are a seeded literal matrix baked into the plan; each
+    bucket key is bits-of-sign packed into a long via a codegen'd
+    expression — per-row cost is tables×bits dot products over literal
+    arrays, no Python, no fitting pass.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(tables * bits, dim))
+
+    def plane_dot(p: np.ndarray) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        return dot_col(lit, as_double(vec_col))
+
+    def bucket(t: int) -> Column:
+        key = F.lit(0).cast("long")
+        for b in range(bits):
+            bit = F.when(plane_dot(planes[t * bits + b]) > 0, 1).otherwise(0)
+            key = key + (bit.cast("long") * F.lit(2**b).cast("long"))
+        return key
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[bucket(t) for t in range(tables)])).alias(
+            "table", "bucket"
+        ),
+    )
+
+
+def knn_ann_hyperplane(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: LSH bucket join → candidate set → exact cosine
+    on candidates only → per-query rank. Work scales with bucket
+    collision counts, not corpus size × query count."""
+    vb = hyperplane_lsh_buckets(vectors, id_col, vec_col, dim, bits, tables, seed)
+    qb = hyperplane_lsh_buckets(queries, id_col, vec_col, dim, bits, tables, seed)
+    cand = (
+        qb.withColumnRenamed(id_col, "query_id")
+        .join(vb, ["table", "bucket"])
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qe"))
+    c = vectors.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_ce"))
+    sims = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("_qe"), F.col("_ce")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("_sim").alias("sim"))
+    )

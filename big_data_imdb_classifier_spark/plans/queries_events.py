@@ -1,1 +1,249 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Event-time queries over the ``events`` table (SURVEY.md §2.10).
+
+Batch-first event-time processing: every aggregation here is a plain
+group-by over ``F.window`` / ``date_trunc`` / ``from_json`` expressions,
+which makes it DuckDB-oracle-checkable; the streaming execution mode is a
+thin ``readStream`` wrapper over the same expressions
+(big_data_imdb_classifier_spark/streaming/streams.py), exercised by
+tests/test_streaming.py with an availableNow trigger.
+
+Window-start timestamps are formatted to strings on BOTH sides (session
+TZ is UTC) so tz-aware Spark values compare equal to DuckDB's naive ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .registry import ROUND_DIGITS, query
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "event_window_tumbling",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value,
+           floor(round(sum(value), 2) / count(*) * 10000) / 10000 AS avg_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows × event_type: the §2.10 core.
+    One shuffle on (window, type); partial aggregation map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.floor(F.round(F.sum("value"), 2) / F.count("*") * 10000) / 10000).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "event_window_sliding",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS ws, value
+      FROM events
+    )
+    SELECT strftime(ws, '{_FMT_DUCK}') AS window_start,
+           count(*)::BIGINT AS n_events,
+           floor(round(sum(value), 2) / count(*) * 10000) / 10000 AS avg_value
+    FROM buckets GROUP BY 1 ORDER BY 1
+    """,
+)
+def event_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour, 30-minute slide): each event lands in two
+    overlapping windows — Spark's window() emits both; the oracle unions
+    the two aligned bucket families."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.floor(F.round(F.sum("value"), 2) / F.count("*") * 10000) / 10000).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "event_date_trunc_rollup",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '{_FMT_DUCK}') AS day,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_date_trunc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-day rollup via date_trunc — the hypertable-style rollup
+    shape (day × type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), _FMT).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "event_props_json",
+    oracle=f"""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)),
+                 {ROUND_DIGITS}) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           count(*) FILTER (json_extract_string(props, '$.k') IS NOT NULL)::BIGINT
+             AS n_with_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (get_json_object on the props column) +
+    per-type aggregation — semi-structured payload processing without a
+    pre-parse pass."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), ROUND_DIGITS).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_sessionization",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '30 minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           strftime(min(ts), '{_FMT_DUCK}') AS session_start,
+           strftime(max(ts), '{_FMT_DUCK}') AS session_end,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user, batch-first
+    via gaps-and-islands: lag → new-session flag → running sum → agg.
+    Two window passes + one agg over the same (user_id, ts) partitioning,
+    so Catalyst plans a single sort-shuffle reused across all three.
+
+    (Streaming-native F.session_window over the same data is exercised in
+    tests/test_streaming.py; the gap semantics are identical.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(w_order)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id", "ts", "value", new_session.alias("new_session")
+    ).withColumn("session_id", F.sum("new_session").over(w_cum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), _FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _FMT).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "event_dedup_latest",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value,
+        row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '{_FMT_DUCK}') AS last_ts,
+           round(value, {ROUND_DIGITS}) AS last_value
+    FROM ranked WHERE rk = 1 ORDER BY user_id, event_type
+    """,
+)
+def event_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the latest event per (user, type) — the batch
+    equivalent of streaming dropDuplicatesWithinWatermark with
+    last-write-wins semantics; one window over one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", _FMT).alias("last_ts"),
+            F.round("value", ROUND_DIGITS).alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )

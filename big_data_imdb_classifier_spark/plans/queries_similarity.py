@@ -1,1 +1,133 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity-search queries over the ``embeddings`` table.
+
+Exact cosine top-k carries a full DuckDB oracle (list_dot_product on
+DOUBLE[] matches the engine's sequential double accumulation to far
+below rounding tolerance); the hyperplane-LSH ANN variant is rows-only
+and quality-gated by a recall@k pytest against the exact result
+(tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as SIM
+from ..sources.readers import load_table
+from .registry import ROUND_DIGITS, query
+
+N_QUERY_VECS = 5  # vec_id < 5 are the demo query vectors
+TOP_K = 10
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+      len(embedding)::BIGINT AS dim,
+      round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])),
+            {ROUND_DIGITS}) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via higher-order functions — the smallest
+    array-math building block, oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = SIM.as_double("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(SIM.l2_norm_col(e), ROUND_DIGITS).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "knn_exact_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id,
+        list_dot_product(qe, ce)
+          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS sim
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, {ROUND_DIGITS}) AS sim
+    FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+)
+def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (query side broadcast, one corpus pass,
+    one ranking shuffle) — the ANN correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    out = SIM.knn_exact_cosine(emb, queries, k=TOP_K)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("sim", ROUND_DIGITS).alias("sim"),
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "label_centroid_norms",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT label, pos, embedding[pos]::DOUBLE AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos)
+    ),
+    centroid AS (
+      SELECT label, pos, avg(v) AS c FROM expanded GROUP BY label, pos
+    )
+    SELECT label,
+      round(sqrt(sum(c * c)), {ROUND_DIGITS}) AS centroid_l2,
+      (SELECT count(*) FROM embeddings e WHERE e.label = centroid.label)::BIGINT
+        AS n_vecs
+    FROM centroid GROUP BY label ORDER BY label
+    """,
+)
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norm: posexplode → two-level agg. The
+    elementwise-mean shape every embedding-cluster rollup uses; shuffles
+    (label, pos) pairs, never whole vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expanded = emb.select(
+        "label", F.posexplode(SIM.as_double("embedding")).alias("pos0", "v")
+    )
+    centroid = expanded.groupBy("label", "pos0").agg(F.avg("v").alias("c"))
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        centroid.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), ROUND_DIGITS).alias("centroid_l2"))
+        .join(counts, "label")
+        .select("label", "centroid_l2", "n_vecs")
+        .orderBy("label")
+    )
+
+
+@query("knn_ann_hyperplane_lsh")  # rows-only: recall-gated in pytest
+def knn_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH (24 tables × 4
+    bits): bucket join → exact cosine on candidates only. Recall@10 vs
+    the exact baseline is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    out = SIM.knn_ann_hyperplane(emb, queries, k=TOP_K)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("sim", ROUND_DIGITS).alias("sim"),
+    ).orderBy("query_id", "rank")

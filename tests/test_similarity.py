@@ -1,0 +1,75 @@
+"""Similarity search: exact-baseline sanity and ANN recall gates."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from big_data_imdb_classifier_spark.operators import similarity as SIM
+
+from .conftest import SF_ORACLE
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_dot_and_norm_basics(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [1.0, 0.0])], ["a", "b"])
+    row = df.select(
+        SIM.dot_col(F.col("a"), F.col("b")).alias("dot"),
+        SIM.l2_norm_col(F.col("a")).alias("na"),
+        SIM.cosine_col(F.col("a"), F.col("b")).alias("cos"),
+    ).first()
+    assert row.dot == 3.0
+    assert row.na == 5.0
+    assert math.isclose(row.cos, 0.6)
+
+
+def test_knn_exact_self_excluded_and_ranked(spark):
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 3)
+    out = SIM.knn_exact_cosine(emb, queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_recall_at_10(spark):
+    """Hyperplane-LSH candidates must recover >=85% of the exact top-10
+    (deterministic: seeded planes + fixed testdata; measured 0.90)."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.knn_exact_cosine(emb, queries, k=10).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.knn_ann_hyperplane(emb, queries, k=10).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.85, f"ANN recall@10 too low: {recall}"
+
+
+def test_ann_sims_are_exact_on_candidates(spark):
+    """ANN reports *exact* cosine for every candidate it returns — the
+    approximation is only in candidate generation."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 2)
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in SIM.knn_exact_cosine(emb, queries, k=50).collect()
+    }
+    for r in SIM.knn_ann_hyperplane(emb, queries, k=10).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert math.isclose(r.sim, exact[key], rel_tol=1e-9)
