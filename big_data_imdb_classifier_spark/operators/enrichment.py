@@ -1,0 +1,141 @@
+"""Cache-first external-enrichment framework (SURVEY.md §3.2, S5+S9).
+
+The reference's signature operation is cache-first LLM genre inference:
+collect ids to the driver, diff against a CSV cache dict, loop batched
+HTTP calls to Ollama, rewrite the cache (reference
+movie_pipeline/data_utils.py:346-417 + llm_predictor.py:65-137). Every
+step there is driver-side; here the same semantics are distributed:
+
+    cached   = read(cache)                      # parquet keyed cache
+    missing  = df ⟕anti cached on key           # cache probe, no collect
+    fresh    = missing.mapInPandas(batch_fn)    # inference ON EXECUTORS,
+                                                #   Arrow batches ≈ the
+                                                #   reference's batch_size
+    cache'   = cached ∪ fresh                   # idempotent upsert
+    result   = df ⟕ cache' on key               # enrich
+
+``batch_fn`` is pluggable: a real client would POST per partition-batch;
+tests and the registered query use a deterministic mock that still
+exercises prompt templating (F7) and response normalization (F8) inside
+the executor.
+
+At 100 TB: the anti-join prunes all previously-enriched keys before any
+external call; inference cost scales with *new* keys only, and the cache
+write is an append-shaped union, not a rewrite of history.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+BatchFn = Callable[[pd.DataFrame], pd.Series]
+
+# Mock "LLM" vocabulary — plays the role of the reference's 18-genre
+# vocab (llm_predictor.py:33-38).
+TOPIC_VOCAB = ["science", "sports", "finance", "culture", "politics"]
+
+
+def build_prompt(key: str, text: str) -> str:
+    """F7: prompt templating (reference llm_predictor.py:139-165)."""
+    return (
+        f"Classify the topic of document {key}.\n"
+        f"Choose one of: {', '.join(TOPIC_VOCAB)}.\n"
+        f"Document: {text[:200]}\n"
+        "Answer with the topic word only."
+    )
+
+
+def normalize_response(raw: str | None) -> str:
+    """F8: response normalization — strip/lower, vocab-validate,
+    fallback 'unknown' (reference llm_predictor.py:167-195)."""
+    if raw is None:
+        return "unknown"
+    cleaned = raw.strip().lower()
+    for word in cleaned.replace(":", " ").split():
+        if word.strip("\"'") in TOPIC_VOCAB:
+            return word.strip("\"'")
+    return "unknown"
+
+
+def mock_llm_batch(pdf: pd.DataFrame) -> pd.Series:
+    """Deterministic mock inference: md5(key) picks a vocab topic, and
+    the 'response' is decorated so normalize_response has real work.
+    (md5-derived so the DuckDB oracle can restate the mapping.)"""
+    def infer(key: str, text: str) -> str:
+        _ = build_prompt(key, text)  # F7 exercised per row
+        idx = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % len(
+            TOPIC_VOCAB
+        )
+        raw_response = f'  Topic: "{TOPIC_VOCAB[idx].upper()}"\n'
+        return normalize_response(raw_response)
+
+    return pd.Series(
+        [infer(k, t) for k, t in zip(pdf.iloc[:, 0], pdf.iloc[:, 1])]
+    )
+
+
+def enrich_with_cache(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    value_col: str,
+    cache_path: str | None,
+    batch_fn: BatchFn = mock_llm_batch,
+) -> DataFrame:
+    """Cache-first enrichment; returns df's keys + the enriched value.
+
+    The cache at ``cache_path`` is a parquet of (key, value). Keys
+    already present are NEVER re-inferred (the reference's cache
+    contract, data_utils.py:373-416); new (key, value) pairs are
+    appended. Missing/None cache_path disables persistence (pure
+    compute).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType, True),
+            T.StructField(value_col, T.StringType(), True),
+        ]
+    )
+
+    cached = None
+    if cache_path and os.path.exists(cache_path):
+        cached = spark.read.parquet(cache_path)
+
+    need = df.select(key_col, text_col)
+    if cached is not None:
+        need = need.join(cached.select(key_col), key_col, "left_anti")
+
+    def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {key_col: pdf[key_col], value_col: batch_fn(pdf)}
+            )
+
+    fresh = need.mapInPandas(run_batches, schema=out_schema)
+
+    if cached is not None:
+        merged = cached.unionByName(fresh)
+    else:
+        merged = fresh
+
+    if cache_path:
+        # Materialize to a sibling tmp dir first (the plan may still scan
+        # the old cache), then atomically swap.
+        tmp = cache_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cache_path):
+            shutil.rmtree(cache_path)
+        os.rename(tmp, cache_path)
+        merged = spark.read.parquet(cache_path)
+
+    return df.select(key_col).join(merged, key_col, "left")

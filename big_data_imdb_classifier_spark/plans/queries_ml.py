@@ -1,1 +1,125 @@
-"""Placeholder — populated in a later milestone this round."""
+"""ML pipeline queries (M1-M7) — rows-only driver checks by design
+(tree-ensemble training is not SQL-expressible); quality is gated by
+tests/test_ml.py (accuracy floor, train/test-state reuse, persistence
+round-trip).
+
+Task: predict whether an order's *revenue* (sum of
+l_extendedprice*(1-l_discount) over its lineitems) is above the global
+mean, from order metadata + lineitem rollups — a learnable nonlinear
+function of the features (the synthetic o_totalprice is independent
+noise, unlearnable by construction). The *shape* mirrors the
+reference's movie classifier — categorical indexing, numeric imputation,
+assembled/scaled features, seeded RandomForest with the reference's exact
+hyperparameters (reference movie_pipeline/classifier_model.py:49-61) —
+re-targeted at the driver's testdata.
+
+The fitted model is cached per (session, sf_dir): the three queries
+below share one deterministic fit instead of re-training per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import PipelineModel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml import pipeline as MLP
+from ..sources.readers import load_table
+from .registry import query
+
+SPEC = MLP.ClassifierSpec(
+    numeric_cols=["n_items", "sum_qty", "avg_discount", "max_extprice"],
+    categorical_cols=["o_orderpriority", "o_orderstatus"],
+    label_col="label",
+)
+
+_SPLIT_SEED = 42
+_model_cache: dict[tuple[str, str], tuple[PipelineModel, DataFrame, DataFrame]] = {}
+
+
+def training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem rollup → features + binary label.
+
+    The label threshold (global mean order revenue) is folded into the
+    plan as a scalar-aggregate cross join — no driver round trip, same
+    pattern as impute_mean_value.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("double").alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_discount").alias("avg_discount"),
+        F.max("l_extendedprice").alias("max_extprice"),
+        F.sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("_revenue"),
+    )
+    mean_rev = rollup.agg(F.avg("_revenue").alias("_mean_rev"))
+    return (
+        orders.join(rollup, orders.o_orderkey == rollup.l_orderkey, "inner")
+        .crossJoin(F.broadcast(mean_rev))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_items",
+            "sum_qty",
+            "avg_discount",
+            "max_extprice",
+            (F.col("_revenue") > F.col("_mean_rev")).cast("double").alias("label"),
+        )
+    )
+
+
+def _fitted(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _model_cache:
+        df = training_frame(spark, sf_dir)
+        train_df, test_df = df.randomSplit([0.8, 0.2], seed=_SPLIT_SEED)
+        model = MLP.train(SPEC, train_df)
+        _model_cache[key] = (model, train_df, test_df)
+    return _model_cache[key]
+
+
+@query("ml_rf_train_metrics")  # rows-only: training is not SQL-expressible
+def ml_rf_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit on the 80% split, evaluate accuracy on the 20% hold-out
+    (M5+M7). One row: accuracy, split sizes, feature count."""
+    model, train_df, test_df = _fitted(spark, sf_dir)
+    acc = MLP.evaluate_accuracy(model, test_df)
+    return spark.createDataFrame(
+        [
+            (
+                round(acc, 4),
+                train_df.count(),
+                test_df.count(),
+                len(SPEC.feature_cols),
+            )
+        ],
+        "accuracy double, n_train long, n_test long, n_features long",
+    )
+
+
+@query("ml_rf_feature_importances")  # rows-only
+def ml_rf_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RF featureImportances zipped with feature names, descending (M6)."""
+    model, _, _ = _fitted(spark, sf_dir)
+    pairs = MLP.feature_importances(model, SPEC)
+    return spark.createDataFrame(
+        [(f, round(imp, 4)) for f, imp in pairs],
+        "feature string, importance double",
+    )
+
+
+@query("ml_rf_prediction_distribution")  # rows-only
+def ml_rf_prediction_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction label distribution on the hold-out (A6 analog — the
+    reference's commented-out True/False tally, data_utils.py:437-449)."""
+    model, _, test_df = _fitted(spark, sf_dir)
+    preds = model.transform(test_df)
+    return (
+        preds.groupBy("prediction")
+        .agg(F.count("*").alias("n"))
+        .orderBy("prediction")
+    )

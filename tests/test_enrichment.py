@@ -1,0 +1,94 @@
+"""Cache-first enrichment: short-circuit, partial-miss, idempotence."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from big_data_imdb_classifier_spark.operators import enrichment as EN
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark, n=50):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where(f"doc_id < {n}")
+        .select("doc_id", "text")
+    )
+
+
+def _poison(pdf: pd.DataFrame) -> pd.Series:
+    raise AssertionError("batch_fn called for keys that should be cached")
+
+
+def test_normalize_response_contract():
+    assert EN.normalize_response('  Topic: "SPORTS"\n') == "sports"
+    assert EN.normalize_response("finance") == "finance"
+    assert EN.normalize_response("no idea") == "unknown"
+    assert EN.normalize_response(None) == "unknown"
+    assert EN.normalize_response("  'Culture'  ") == "culture"
+
+
+def test_enrichment_fills_every_key(spark, tmp_path):
+    cache = str(tmp_path / "cache.parquet")
+    out = EN.enrich_with_cache(
+        spark, _docs(spark), "doc_id", "text", "topic", cache
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.topic in EN.TOPIC_VOCAB for r in rows)
+
+
+def test_cache_hit_short_circuits_inference(spark, tmp_path):
+    cache = str(tmp_path / "cache.parquet")
+    docs = _docs(spark)
+    first = EN.enrich_with_cache(
+        spark, docs, "doc_id", "text", "topic", cache
+    ).collect()
+    # second run: every key cached — the poison batch_fn must never fire
+    second = EN.enrich_with_cache(
+        spark, docs, "doc_id", "text", "topic", cache, batch_fn=_poison
+    ).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_partial_cache_only_infers_missing(spark, tmp_path):
+    cache = str(tmp_path / "cache.parquet")
+    docs = _docs(spark)
+    half = docs.where("doc_id < 25")
+    # seed the cache with sentinel values the mock would never produce
+    seeded = half.selectExpr("doc_id", "'SEEDED' AS topic")
+    seeded.write.parquet(cache)
+
+    out = EN.enrich_with_cache(
+        spark, docs, "doc_id", "text", "topic", cache
+    ).collect()
+    by_key = {r.doc_id: r.topic for r in out}
+    for k, v in by_key.items():
+        if k < 25:
+            assert v == "SEEDED", "cached keys must not be re-inferred"
+        else:
+            assert v in EN.TOPIC_VOCAB
+
+
+def test_rerun_is_idempotent(spark, tmp_path):
+    cache = str(tmp_path / "cache.parquet")
+    docs = _docs(spark)
+    EN.enrich_with_cache(spark, docs, "doc_id", "text", "topic", cache)
+    cache_once = sorted(
+        map(tuple, spark.read.parquet(cache).collect())
+    )
+    EN.enrich_with_cache(spark, docs, "doc_id", "text", "topic", cache)
+    cache_twice = sorted(
+        map(tuple, spark.read.parquet(cache).collect())
+    )
+    assert cache_once == cache_twice  # no duplicate keys, no drift
+
+
+def test_poison_without_cache_raises(spark):
+    with pytest.raises(Exception):
+        EN.enrich_with_cache(
+            spark, _docs(spark), "doc_id", "text", "topic", None,
+            batch_fn=_poison,
+        ).collect()

@@ -1,0 +1,78 @@
+"""ML pipeline: accuracy floor, state-reuse contract, persistence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_imdb_classifier_spark.ml import pipeline as MLP
+from big_data_imdb_classifier_spark.plans import queries_ml as QM
+
+from .conftest import SF_SMOKE
+
+
+def _splits(spark):
+    df = QM.training_frame(spark, SF_SMOKE)
+    return df.randomSplit([0.8, 0.2], seed=42)
+
+
+def test_training_frame_shape(spark):
+    df = QM.training_frame(spark, SF_SMOKE)
+    assert set(df.columns) >= {
+        "o_orderkey", "o_orderpriority", "o_orderstatus",
+        "n_items", "sum_qty", "avg_discount", "max_extprice", "label",
+    }
+    labels = {r.label for r in df.select("label").distinct().collect()}
+    assert labels == {0.0, 1.0}
+
+
+def test_rf_accuracy_floor_and_determinism(spark):
+    train_df, test_df = _splits(spark)
+    model = MLP.train(QM.SPEC, train_df)
+    acc = MLP.evaluate_accuracy(model, test_df)
+    # sum_qty/max_extprice strongly predict totalprice>mean; the floor is
+    # far above the majority-class rate (~0.6)
+    assert acc >= 0.8, f"accuracy {acc}"
+    # seeded fit on identical data is deterministic
+    acc2 = MLP.evaluate_accuracy(MLP.train(QM.SPEC, train_df), test_df)
+    assert acc == acc2
+
+
+def test_fit_on_train_reuse_on_test(spark):
+    """The M1/M3 contract: indexer labels, imputation means and scaler
+    stds come from TRAIN only — transforming test twice with the fitted
+    model gives identical output (no per-dataset refit)."""
+    train_df, test_df = _splits(spark)
+    model = MLP.train(QM.SPEC, train_df)
+    a = model.transform(test_df).select("o_orderkey", "prediction")
+    b = model.transform(test_df).select("o_orderkey", "prediction")
+    assert a.exceptAll(b).count() == 0
+
+    # unseen categorical values must survive (handleInvalid='keep')
+    weird = test_df.withColumn("o_orderpriority", F.lit("9-NEVER-SEEN"))
+    assert model.transform(weird).count() == weird.count()
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """S8: persisted PipelineModel reproduces predictions exactly."""
+    train_df, test_df = _splits(spark)
+    model = MLP.train(QM.SPEC, train_df)
+    path = str(tmp_path / "rf_model")
+    MLP.save_model(model, path)
+    reloaded = MLP.load_model(path)
+    a = model.transform(test_df).select("o_orderkey", "prediction").collect()
+    b = reloaded.transform(test_df).select("o_orderkey", "prediction").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_feature_importances_named_and_normalized(spark):
+    train_df, _ = _splits(spark)
+    model = MLP.train(QM.SPEC, train_df)
+    pairs = MLP.feature_importances(model, QM.SPEC)
+    assert [p[0] for p in pairs[:0]] == []
+    names = {p[0] for p in pairs}
+    assert names == set(QM.SPEC.feature_cols)
+    total = sum(p[1] for p in pairs)
+    assert abs(total - 1.0) < 1e-6
+    # the price-correlated features should dominate the priority flag
+    imp = dict(pairs)
+    assert imp["max_extprice"] + imp["sum_qty"] > imp["o_orderpriority_index"]
