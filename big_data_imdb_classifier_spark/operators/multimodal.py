@@ -1,0 +1,262 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The engine's multimodal contract: media lives in an opaque ``binary``
+column beside typed metadata; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over ``mapInPandas``
+so bytes never leave the executors and never take the row-at-a-time
+Python path.
+
+Because this container has no codec libraries (PIL/librosa/av), the
+*decode* step is a clearly-marked deterministic fake: metadata is derived
+from the md5 of the content bytes (``_fake_decode``), and real decoding
+is stubbed behind ``decode_real`` which raises ``NotImplementedError``
+unless a codec library is importable.  Everything AROUND the stub — the
+binary column plumbing, Arrow batch shapes, metadata schema, explode of
+sampled frames, byte-level feature extraction — is real and tested; a
+deployment swaps ``_fake_decode`` for a codec call and nothing else
+changes.
+
+Scale notes (100 TB of media):
+* content stays in one ``binary`` column → Parquet keeps it in its own
+  chunk; metadata-only queries never read the bytes (column pruning).
+* each transform is one ``mapInPandas`` pass — no shuffle; partition
+  sizing is governed by ``spark.sql.files.maxPartitionBytes`` and
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set the latter low,
+  e.g. 64, when rows carry multi-MB payloads so an Arrow batch fits in
+  executor memory).
+* frame sampling explodes videos by a bounded factor (≤ max_frames) —
+  predictable amplification, no skew beyond payload-size variance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_TYPES = ["image", "audio", "video"]
+SAMPLE_RATES = [8000, 16000, 22050, 44100]
+VIDEO_FPS = 24
+MAX_SAMPLED_FRAMES = 8
+
+# Typed metadata: one nullable struct column; fields are populated per
+# media_type (image → width/height/channels, audio → sample_rate/
+# duration_ms, video → width/height/n_frames/fps).
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("fps", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("mean_byte", T.DoubleType(), True),
+        T.StructField("std_byte", T.DoubleType(), True),
+        T.StructField("n_distinct_bytes", T.LongType(), True),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_no", T.LongType(), True),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("frame_ts_ms", T.LongType(), True),
+    ]
+)
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("thumbnail", T.BinaryType(), True),
+    ]
+)
+
+
+def multimodal_corpus(docs: DataFrame) -> DataFrame:
+    """Binary media corpus derived deterministically from ``documents``:
+    content = UTF-8 bytes of the text (an opaque payload as far as every
+    operator below is concerned), media_type cycles by doc_id.  In
+    production this is ``spark.read.format('binaryFile')`` or a parquet
+    with a real binary column — same schema, same operators.
+    """
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+def _hx(h: str, i: int, j: int) -> int:
+    return int(h[i:j], 16)
+
+
+def _fake_decode(media_type: str, content: bytes) -> dict:
+    """STUB decode: deterministic metadata from md5(content).  Replace
+    with PIL / librosa / av in a real deployment (see decode_real)."""
+    h = hashlib.md5(content).hexdigest()
+    meta = dict(
+        byte_len=len(content),
+        width=None,
+        height=None,
+        channels=None,
+        n_frames=None,
+        fps=None,
+        sample_rate=None,
+        duration_ms=None,
+    )
+    if media_type == "image":
+        meta.update(
+            width=_hx(h, 0, 4) % 512 + 16,
+            height=_hx(h, 4, 8) % 512 + 16,
+            channels=3,
+        )
+    elif media_type == "audio":
+        meta.update(
+            sample_rate=SAMPLE_RATES[_hx(h, 0, 4) % len(SAMPLE_RATES)],
+            duration_ms=_hx(h, 4, 8) % 60000 + 1000,
+        )
+    elif media_type == "video":
+        meta.update(
+            width=_hx(h, 0, 4) % 256 + 16,
+            height=_hx(h, 4, 8) % 256 + 16,
+            n_frames=_hx(h, 8, 12) % 240 + 16,
+            fps=VIDEO_FPS,
+        )
+    return meta
+
+
+def decode_real(media_type: str, content: bytes) -> dict:
+    """Real decode — NOT IMPLEMENTED in this container (no codec libs).
+    The import-gate shows exactly where a codec plugs in."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real media decode requires a codec library (PIL/librosa/av) "
+            "not present in this environment; operators use _fake_decode"
+        )
+    raise NotImplementedError("codec integration point")
+
+
+def decode_metadata(corpus: DataFrame) -> DataFrame:
+    """Binary → typed metadata via one Arrow ``mapInPandas`` pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "doc_id": d,
+                    "media_type": m,
+                    **_fake_decode(m, bytes(c)),
+                }
+                for d, m, c in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["content"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in METADATA_SCHEMA])
+
+    return corpus.mapInPandas(run, schema=METADATA_SCHEMA)
+
+
+def byte_features(corpus: DataFrame) -> DataFrame:
+    """Byte-level content features (mean/population-std/cardinality of the
+    byte distribution) — numpy over Arrow batches; the vectorized shape a
+    real embedding/feature extractor would use."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, m, c in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
+                a = np.frombuffer(bytes(c), dtype=np.uint8)
+                out.append(
+                    {
+                        "doc_id": d,
+                        "media_type": m,
+                        "byte_len": int(a.size),
+                        "mean_byte": float(a.mean()) if a.size else None,
+                        "std_byte": float(a.std()) if a.size else None,
+                        "n_distinct_bytes": int(np.unique(a).size),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA])
+
+    return corpus.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(
+    corpus: DataFrame, max_frames: int = MAX_SAMPLED_FRAMES
+) -> DataFrame:
+    """Uniform frame sampling for videos: ≤ ``max_frames`` rows per video
+    with frame index + timestamp.  The explode happens inside the pandas
+    batch (bounded amplification); a real sampler would also slice the
+    frame bytes here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, m, c in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
+                if m != "video":
+                    continue
+                meta = _fake_decode(m, bytes(c))
+                n, fps = meta["n_frames"], meta["fps"]
+                stride = max(1, n // max_frames)
+                for i in range(min(max_frames, n)):
+                    idx = i * stride
+                    out.append(
+                        {
+                            "doc_id": d,
+                            "frame_no": i,
+                            "frame_idx": idx,
+                            "frame_ts_ms": idx * 1000 // fps,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA])
+
+    return corpus.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_images(corpus: DataFrame, width: int, height: int) -> DataFrame:
+    """Thumbnail pipeline plumbing: images in, fixed-size binary out.
+    The resample itself is the stubbed step (digest bytes stand in for
+    pixel data); schema/batching/partitioning are the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, m, c in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
+                if m != "image":
+                    continue
+                out.append(
+                    {
+                        "doc_id": d,
+                        "width": width,
+                        "height": height,
+                        "thumbnail": hashlib.md5(bytes(c)).digest(),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in THUMB_SCHEMA])
+
+    return corpus.mapInPandas(run, schema=THUMB_SCHEMA)

@@ -10,6 +10,7 @@ def load_all() -> None:
         queries_enrichment,
         queries_events,
         queries_ml,
+        queries_multimodal,
         queries_relational,
         queries_similarity,
         queries_text,
