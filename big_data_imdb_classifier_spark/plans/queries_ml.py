@@ -123,3 +123,48 @@ def ml_rf_prediction_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n"))
         .orderBy("prediction")
     )
+
+
+@query(
+    "ml_scaler_fit_stats",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey,
+        count(*)::DOUBLE AS n_items,
+        sum(l_quantity) AS sum_qty,
+        avg(l_discount) AS avg_discount,
+        max(l_extendedprice) AS max_extprice
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (SELECT r.* FROM orders o JOIN r ON o.o_orderkey = r.l_orderkey)
+    SELECT feature, round(mean, 4) AS mean, round(std, 4) AS std FROM (
+      SELECT 'n_items' AS feature, avg(n_items) AS mean,
+             stddev_samp(n_items) AS std FROM j
+      UNION ALL SELECT 'sum_qty', avg(sum_qty), stddev_samp(sum_qty) FROM j
+      UNION ALL SELECT 'avg_discount', avg(avg_discount),
+             stddev_samp(avg_discount) FROM j
+      UNION ALL SELECT 'max_extprice', avg(max_extprice),
+             stddev_samp(max_extprice) FROM j
+    ) ORDER BY feature
+    """,
+)
+def ml_scaler_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the StandardScaler's fitted statistics (per-feature mean and
+    sample std), exposed from a real ``StandardScalerModel`` fit over the
+    training features — oracle-checked against SQL avg/stddev_samp. This
+    pins the scaler's math (Bessel-corrected std, no mean shift applied
+    at transform when withMean=False) to the SQL definition."""
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    df = training_frame(spark, sf_dir)
+    va = VectorAssembler(inputCols=SPEC.numeric_cols, outputCol="_f")
+    model = StandardScaler(
+        inputCol="_f", outputCol="_sf", withMean=True, withStd=True
+    ).fit(va.transform(df))
+    means = model.mean.toArray()
+    stds = model.std.toArray()
+    rows = sorted(
+        (c, round(float(m), 4), round(float(s), 4))
+        for c, m, s in zip(SPEC.numeric_cols, means, stds)
+    )
+    return spark.createDataFrame(rows, "feature string, mean double, std double")

@@ -696,3 +696,60 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "na_fill_bulk",
+    oracle=f"""
+    SELECT COALESCE(NULLIF(l_returnflag, 'N'), 'UNK') AS flag,
+           COUNT(*) AS n,
+           ROUND(SUM(COALESCE(NULLIF(l_quantity, 1), 0)), {R}) AS sum_qty_filled
+    FROM lineitem GROUP BY 1 ORDER BY flag
+    """,
+)
+def na_fill_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk multi-column null fill (P8): sentinel→NULL on a string AND a
+    numeric column, then ONE ``na.fill`` map repairs both — the
+    reference's fillna contract (data_utils.py:239-247) without
+    per-column passes. The fill is a pure projection (no shuffle); the
+    aggregate below exists only to keep the checked result small."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("l_returnflag", F.nullif("l_returnflag", F.lit("N")))
+        .withColumn("l_quantity", F.nullif("l_quantity", F.lit(1)))
+        .na.fill({"l_returnflag": "UNK", "l_quantity": 0})
+    )
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), R).alias("sum_qty_filled"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "join_dup_drop",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+           c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey < 200
+    ORDER BY orderkey
+    """,
+)
+def join_dup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + duplicate-key-column drop (J3): the cross-named equi-join
+    keeps both key columns; ``drop`` removes the right-hand copy so the
+    output schema has one key, matching the reference's post-join column
+    hygiene (data_utils.py:316-324)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey, "inner").drop("c_custkey")
+    return joined.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        "c_name",
+        "c_mktsegment",
+    ).orderBy("orderkey")

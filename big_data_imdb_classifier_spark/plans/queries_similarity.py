@@ -131,3 +131,45 @@ def knn_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.round("sim", ROUND_DIGITS).alias("sim"),
     ).orderBy("query_id", "rank")
+
+
+_COS_DUP_THRESHOLD = 0.45
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(sim, {ROUND_DIGITS}) AS sim
+    FROM p WHERE sim >= {_COS_DUP_THRESHOLD} ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs baseline
+    (cosine ≥ threshold). This is the correctness oracle for semantic
+    dedup; at 100 TB the same verify step runs over LSH bucket candidates
+    only (hyperplane_lsh_buckets, as in knn_ann_hyperplane) instead of
+    the quadratic self-join — with a high threshold and 24×4-bit tables
+    the bucket recall is ≈1 (miss probability < 1e-10 at sim 0.95)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), SIM.as_double("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), SIM.as_double("embedding").alias("_vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        SIM.cosine_col(F.col("_va"), F.col("_vb")).alias("_sim"),
+    )
+    return (
+        pairs.where(F.col("_sim") >= _COS_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("_sim", ROUND_DIGITS).alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -13,8 +13,10 @@ training-data-pipeline operations the 100 TB brief requires.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.nfkd import nfkd_fold_col
 from ..operators import text as TX
@@ -284,3 +286,131 @@ def text_nfkd_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", nfkd_fold_col("text").alias("norm_text")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting / exact n-gram Jaccard / grouped-agg pandas_udf
+# ---------------------------------------------------------------------------
+
+_ROLL_MOD = 2_147_483_647  # 2^31 - 1; keeps h*131+c far below 2^63
+_ROLL_BASE = 131
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, b) -> (a * {_ROLL_BASE} + b) % {_ROLL_MOD}
+      )::BIGINT AS rolling_fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint: left-fold
+    h = (h*131 + byte) mod 2^31-1 over the characters, entirely in JVM
+    higher-order functions (split → ascii → aggregate). Unlike md5 this
+    is incrementally updatable (the property rolling hashes exist for);
+    the DuckDB oracle replays the identical fold with list_reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * _ROLL_BASE + c, F.lit(_ROLL_MOD)),
+    )
+    return docs.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
+
+
+@F.pandas_udf(T.DoubleType())  # DataType object: no session-bound DDL parse at import
+def _median_agg(v: pd.Series) -> float:
+    """Grouped-agg pandas_udf (SURVEY §2.11b): exact median — the
+    canonical 'not expressible as a built-in Spark aggregate exactly'
+    case (percentile_approx is approximate)."""
+    return float(v.median())
+
+
+@query(
+    "text_median_chars_by_source",
+    oracle=f"""
+    SELECT source, round(median(n_chars), {ROUND_DIGITS}) AS median_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def text_median_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via a grouped-aggregate Arrow pandas_udf —
+    each group's values arrive as one pandas Series on an executor.
+    Scale note: grouped-agg UDFs materialize the whole group per call, so
+    this is for bounded-cardinality groups (here: sources); unbounded
+    groups should use percentile_approx instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.round(_median_agg("n_chars"), ROUND_DIGITS).alias("median_chars"))
+        .orderBy("source")
+    )
+
+
+_JACCARD_THRESHOLD = 0.2
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      round(n_common::DOUBLE / (len(x.s) + len(y.s) - n_common),
+            {ROUND_DIGITS}) AS jaccard
+    FROM p JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    WHERE n_common::DOUBLE / (len(x.s) + len(y.s) - n_common)
+          >= {_JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle index:
+    explode shingles → equi-join on shingle → count common per pair →
+    Jaccard from set sizes. Exact (any overlapping pair shares a shingle)
+    and sub-quadratic when shingles are selective; the all-pairs blow-up
+    risk on low-entropy corpora is why the LSH variant
+    (dedup_minhash_lsh_pairs) is the 100 TB path — this is its
+    correctness baseline, and at scale you'd add prefix filtering
+    (sort shingles by global frequency, index only each doc's rarest few)
+    to bound the index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", TX.word_shingles_col("text", 3).alias("s")
+    )
+    inv = sh.select("doc_id", F.explode("s").alias("g"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "g")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "g")
+    pairs = (
+        a.join(b, ["g"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.size("s").alias("_na"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.size("s").alias("_nb"))
+    jac = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "_j",
+            F.col("n_common")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+        )
+        .where(F.col("_j") >= _JACCARD_THRESHOLD)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.round("_j", ROUND_DIGITS).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
