@@ -20,6 +20,11 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     # Correctness: DuckDB oracle timestamps are UTC-naive.
     "spark.sql.session.timeZone": "UTC",
+    # Single-JVM local mode: driver heap IS the executor heap. The default
+    # 1g cannot hold a 300-tree depth-15 RF model (reference-parity
+    # hyperparams); the reference itself runs 8g (classifier_pipeline.py:91).
+    # Applies only at JVM launch — getOrCreate on a live session ignores it.
+    "spark.driver.memory": "8g",
     # Runtime re-planning: partition coalescing, SMJ->BHJ conversion,
     # skew-join splitting. Free wins at any scale.
     "spark.sql.adaptive.enabled": "true",
