@@ -43,8 +43,12 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",           # MinHash LSH banding
     "simhash_signatures",                # SimHash
     "knn_exact_cosine",                  # brute-force top-k ANN baseline
+    "knn_ann_hyperplane_lsh",            # LSH-bucketed ANN scale path
+    "dedup_ngram_jaccard",               # exact inverted-index Jaccard
     "event_window_tumbling",             # event-time tumbling agg
     "event_sessionization",              # session windows
+    "mm_decode_metadata",                # Arrow multimodal decode
+    "enrich_mock_llm_topics",            # mapInPandas enrichment
 ]
 
 

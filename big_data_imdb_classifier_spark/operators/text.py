@@ -196,12 +196,20 @@ def minhash_lsh_near_dup_pairs(
             parts.append(F.col(f"mh_{b * rows + r}"))
         return F.md5(F.concat(*parts))
 
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
-            "band", "bh"
-        ),
-    ).where(F.col("bh").isNotNull())
+    # Repartition on the bucket key: both self-join branches then hang off
+    # ONE Exchange (ReusedExchange), so the signature pipeline (8 md5s per
+    # shingle) is computed once instead of once per branch — and the join
+    # needs this partitioning anyway.
+    banded = (
+        sig.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+                "band", "bh"
+            ),
+        )
+        .where(F.col("bh").isNotNull())
+        .repartition("band", "bh")
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -217,8 +225,11 @@ def minhash_lsh_near_dup_pairs(
         .distinct()
     )
 
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
+    # Same trick for the verify joins: one doc_id-partitioned shingle
+    # frame feeds both sides through a shared Exchange.
+    shr = sh.repartition(id_col)
+    sa = shr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
+    sb = shr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -390,27 +390,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", TX.word_shingles_col("text", 3).alias("s")
     )
-    inv = sh.select("doc_id", F.explode("s").alias("g"))
-    a = inv.select(F.col("doc_id").alias("doc_a"), "g")
-    b = inv.select(F.col("doc_id").alias("doc_b"), "g")
+    # Carry each doc's set SIZE through the explode so no join back to the
+    # shingle sets is needed; repartition on the join key makes the two
+    # self-join branches share ONE Exchange (ReusedExchange), so the
+    # shingle pipeline is computed once, not once per branch.
+    inv = sh.select(
+        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("g")
+    ).repartition("g")
+    a = inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_na"), "g")
+    b = inv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_nb"), "g")
     pairs = (
         a.join(b, ["g"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "_na", "_nb")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.size("s").alias("_na"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.size("s").alias("_nb"))
-    jac = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "_j",
-            F.col("n_common")
-            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
-        )
-        .where(F.col("_j") >= _JACCARD_THRESHOLD)
-    )
+    jac = pairs.withColumn(
+        "_j",
+        F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+    ).where(F.col("_j") >= _JACCARD_THRESHOLD)
     return jac.select(
         "doc_a", "doc_b", F.round("_j", ROUND_DIGITS).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
