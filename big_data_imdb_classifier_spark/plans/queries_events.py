@@ -167,7 +167,7 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )
-    SELECT user_id, session_id,
+    SELECT user_id, session_id::BIGINT AS session_id,
            strftime(min(ts), '{_FMT_DUCK}') AS session_start,
            strftime(max(ts), '{_FMT_DUCK}') AS session_end,
            count(*)::BIGINT AS n_events,

@@ -118,8 +118,12 @@ def load_column_dict_json(
     Spark-first: read the document as one row of MapType columns, explode
     each map to (index, value) rows, and inner-join the columns on the
     index — the join reproduces the reference's key-intersection
-    semantics. All three steps are Catalyst operators; nothing touches the
-    driver.
+    semantics. Caveat: a multiLine JSON document is necessarily scanned
+    as ONE row in ONE task, so the scan itself is single-task (bounded by
+    one executor's memory — fine for the reference's ~400 KB file, not
+    for a multi-GB one, which should be pre-split or stored columnar);
+    the explicit repartition after the explode fans the exploded rows out
+    so everything downstream of the scan is distributed.
     """
     doc_schema = T.StructType(
         [
@@ -133,7 +137,7 @@ def load_column_dict_json(
     for c in columns:
         col_df = doc.select(
             F.explode(F.col(c)).alias(key_name, c)
-        )
+        ).repartition(key_name)
         out = col_df if out is None else out.join(col_df, key_name, "inner")
     assert out is not None
     return out.drop(key_name)

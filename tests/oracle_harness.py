@@ -21,8 +21,6 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<NULL>"
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.6f}"
         return f"{v:.6f}"
     if isinstance(v, (int,)):
         return f"{float(v):.6f}"
@@ -31,6 +29,22 @@ def _canon_value(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     return str(v)
+
+
+def _canon_dtype(dt) -> str:
+    """Collapse dtypes into the families the driver's schema_match cares
+    about, so an int-vs-bigint or float32-vs-float64 drift fails locally
+    instead of only at the driver."""
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float", "double")):
+        return "float"
+    if s.startswith(("datetime", "timestamp")):
+        return "datetime"
+    if s == "bool":
+        return "bool"
+    return "str"
 
 
 def _canon_frame(pdf: pd.DataFrame) -> list[tuple]:
@@ -48,6 +62,17 @@ def compare(spark_df: DataFrame, duck_con: duckdb.DuckDBPyConnection, sql: str) 
     assert sorted(got.columns) == sorted(want.columns), (
         f"column mismatch: spark={sorted(got.columns)} oracle={sorted(want.columns)}"
     )
+    got_types = {c: _canon_dtype(got.dtypes[c]) for c in got.columns}
+    want_types = {c: _canon_dtype(want.dtypes[c]) for c in want.columns}
+    # 'object' pandas columns (strings, lists, NULL-heavy ints) canonicalize
+    # to 'str' on either side; only flag a drift when both sides are typed.
+    mismatched = {
+        c: (got_types[c], want_types[c])
+        for c in got.columns
+        if "str" not in (got_types[c], want_types[c])
+        and got_types[c] != want_types[c]
+    }
+    assert not mismatched, f"dtype mismatch (spark, oracle): {mismatched}"
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
 
     g = _canon_frame(got)

@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions: the scale claims made in docstrings
+(pushdown, pruning, broadcast, single-shuffle windows, exchange reuse,
+top-n pushdown) checked against ``explain``, so a plan regression fails
+CI instead of silently doubling shuffles at 100×."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from big_data_imdb_classifier_spark import plans
+from big_data_imdb_classifier_spark.sources.readers import load_table
+
+from .conftest import SF_SMOKE
+
+plans.load_all()
+
+
+def _explain(spark, df) -> str:
+    jvm = spark.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _plan(spark, name: str) -> str:
+    df = plans.QUERIES[name](spark, SF_SMOKE)
+    return _explain(spark, df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_project_cast")
+    assert "PushedFilters: [" in plan
+    # the pushed filter list must be non-empty
+    m = re.search(r"PushedFilters: \[(.+?)\]", plan)
+    assert m and m.group(1).strip(), plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = plans.QUERIES["text_features"](spark, SF_SMOKE)
+    plan = _explain(spark, df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # only the two needed columns are read from the 5-column table
+    assert read_cols == {"doc_id", "text"}, read_cols
+
+
+def test_flagship_broadcasts_dimension(spark):
+    plan = _plan(spark, "flagship_top_customer_per_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sort_limit_compiles_to_top_n(spark):
+    plan = _plan(spark, "sort_limit_topn")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_count_enrich_is_single_shuffle(spark):
+    plan = _plan(spark, "count_enrich_window")
+    # one hash Exchange for the window partitioning (the final orderBy is
+    # a range Exchange) and no agg+join-back pair.
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 1, plan
+
+
+def test_lsh_self_joins_reuse_exchange(spark):
+    """The self-join branches must share one shuffle at runtime (AQE
+    stage reuse → ReusedExchange in the final adaptive plan), so the
+    shingle/signature pipeline is computed once, not once per branch."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh_pairs"):
+        df = plans.QUERIES[name](spark, SF_SMOKE)
+        df.collect()  # finalize the adaptive plan
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed, name
+
+
+def test_semi_and_anti_compile_to_join_types(spark):
+    assert re.search(r"LeftSemi", _plan(spark, "semi_join_big_spenders"))
+    assert re.search(r"LeftAnti", _plan(spark, "anti_join_no_urgent"))
+
+
+def test_events_scan_prunes_columns(spark):
+    df = load_table(spark, SF_SMOKE, "events").select("event_type")
+    plan = _explain(spark, df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # the nanos-ts repair projection must not force reading other columns
+    assert "value" not in read_cols and "props" not in read_cols, read_cols
