@@ -125,3 +125,30 @@ def repair_year_bounds(
     end = F.coalesce(F.col(end_col), F.col(start_col), F.lit(default_year))
     end = F.greatest(end, start)
     return df.withColumn(start_col, start).withColumn(end_col, end)
+
+
+def count_enrich_salted(
+    df: DataFrame, key: str, count_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-safe two-phase variant of ``count_enrich`` for hot keys.
+
+    An unordered window over a single key gives AQE no skew mitigation —
+    at 100× a hot key lands its entire partition on one task. Here the
+    count is a two-phase aggregate: partial count on (key, salt) spreads
+    a hot key over ``salt_buckets`` tasks, the final sum is one tiny agg,
+    and the per-key totals broadcast-join back to the rows. Two shuffles
+    of COUNTS (not rows) instead of one shuffle of all rows — the right
+    trade exactly when the row shuffle would skew.
+
+    The salt is deterministic (row content hash), so results are stable.
+    """
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = partial.groupBy(key).agg(F.sum("_c").alias(count_col))
+    return df.join(F.broadcast(totals), key, "left").select(
+        *df.columns, count_col
+    )

@@ -298,3 +298,63 @@ def with_text_features(
         .withColumn("lang_pred", lang_id_col(text_col))
         .withColumn("fingerprint", fingerprint_col(text_col))
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 64-bit signature into
+    ``bands`` equal bit-slices, bucket-join on any equal slice, verify
+    hamming distance on candidates.
+
+    EXACT for ``max_hamming < bands`` by pigeonhole: a pair with ≤3
+    differing bits cannot differ in all 4 of its 16-bit slices, so it
+    must collide in at least one bucket — banding loses nothing while
+    keeping the join strictly sub-quadratic (same scale shape as
+    MinHash-LSH banding).
+    """
+    assert max_hamming < bands, "pigeonhole exactness needs max_hamming < bands"
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    sig = simhash(df, id_col=id_col, text_col=text_col)
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "slice"),
+    ).repartition("band", "slice")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("_ha"),
+            F.col("b.simhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64_col(F.col("_ha"), F.col("_hb")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

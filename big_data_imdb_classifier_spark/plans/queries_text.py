@@ -412,3 +412,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select(
         "doc_a", "doc_b", F.round("_j", ROUND_DIGITS).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+@query("simhash_near_dup_pairs")  # rows-only: xxhash64 has no DuckDB twin
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit band bucketing + hamming verify —
+    exact for hamming ≤ 3 by pigeonhole (see operators/text.py).
+    Completeness vs brute force is pytest-gated (tests/test_text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.simhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, bands=4
+    ).orderBy("doc_a", "doc_b")

@@ -126,3 +126,61 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_TOTALS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType(), True),
+        T.StructField("total", T.DoubleType(), True),
+    ]
+)
+
+
+def running_user_totals_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) maintained across micro-batches, emitting the
+    updated totals for every user seen in a batch.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    aggregations can't express (per-key model state, custom eviction,
+    cross-batch counters). State is per-key and partitioned by the group
+    key, so it scales horizontally; the watermark bounds how long idle
+    keys linger (NoTimeout here — the test drives one availableNow batch).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOTALS_OUT,
+            stateStructType=_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -77,3 +77,23 @@ def test_dedup_stream_drops_duplicate_keys(spark):
     n_keys = ev_batch.select("user_id", "event_type").distinct().count()
     assert got.count() == n_keys
     assert got.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stateful_running_totals_matches_batch(spark):
+    """applyInPandasWithState custom operator: one availableNow batch →
+    per-user totals must equal the batch groupBy."""
+    ev_stream = ST.load_events_stream(spark, SF_SMOKE)
+    got = ST.run_to_memory(
+        spark,
+        ST.running_user_totals_stream(ev_stream),
+        "t_state_totals",
+        output_mode="update",
+    )
+    ev_batch = load_table(spark, SF_SMOKE, "events")
+    want = ev_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("sum_value"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0

@@ -147,3 +147,45 @@ def test_lang_id_deterministic_tiebreak(spark):
     df = spark.createDataFrame([("zzz qqq www",)], ["text"])
     out = df.select(TX.lang_id_col("text").alias("l")).first()
     assert out.l == sorted(TX.LANG_MARKERS)[0]
+
+
+def test_simhash_near_dup_pairs_exact_vs_brute_force(spark):
+    """Banding must lose nothing at hamming <= 3 (pigeonhole): compare
+    against the all-pairs scan of the collected signatures."""
+    from big_data_imdb_classifier_spark.operators import text as TX
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in TX.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in TX.simhash(docs).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want
+    assert len(want) > 0, "corpus should contain planted near-dups"
+
+
+def test_count_enrich_salted_matches_window_variant(spark):
+    from big_data_imdb_classifier_spark.operators.relational import (
+        count_enrich,
+        count_enrich_salted,
+    )
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    a = count_enrich(li, "l_suppkey", "n")
+    b = count_enrich_salted(li, "l_suppkey", "n", salt_buckets=8)
+    assert sorted(tuple(r) for r in a.collect()) == sorted(
+        tuple(r) for r in b.collect()
+    )
