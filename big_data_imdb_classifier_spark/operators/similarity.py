@@ -160,3 +160,76 @@ def knn_ann_hyperplane(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.col("_sim").alias("sim"))
     )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next
+    to hyperplane LSH: a distributed KMeans coarse quantizer partitions
+    the corpus into ``n_clusters`` cells; each query probes only its
+    ``n_probe`` nearest cells and pays exact cosine on those candidates.
+
+    Corpus cell assignment is a KMeansModel.transform (one pass); the
+    centroid table is tiny and rides into an Arrow pandas_udf closure for
+    the query-side multi-probe. Work per query scales with
+    n_probe/n_clusters of the corpus, and the cell assignment is
+    re-usable (in production: computed once, stored as a column,
+    partition-pruned at read time).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(
+        F.col(id_col), array_to_vector(as_double(vec_col)).alias("_fv")
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(train)
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
+
+    corpus_cells = model.transform(train).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_cell").alias("cell")
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (B, dim)
+        d = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)  # (B, C)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+
+    cand = (
+        q_cells.join(corpus_cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qe"))
+    c = vectors.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_ce"))
+    sims = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("_qe"), F.col("_ce")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("_sim").alias("sim"))
+    )

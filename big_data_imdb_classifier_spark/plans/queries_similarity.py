@@ -173,3 +173,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("_sim", ROUND_DIGITS).alias("sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query("knn_ann_ivf")  # rows-only: recall-gated in pytest
+def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-k (KMeans coarse quantizer, 16 cells,
+    4-probe): the partition-pruned scale path. Recall@10 vs the exact
+    baseline asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    out = SIM.knn_ivf(emb, queries, k=TOP_K, n_clusters=16, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("sim", ROUND_DIGITS).alias("sim"),
+    ).orderBy("query_id", "rank")

@@ -73,3 +73,28 @@ def test_ann_sims_are_exact_on_candidates(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert math.isclose(r.sim, exact[key], rel_tol=1e-9)
+
+
+def test_ivf_recall_at_10(spark):
+    """IVF multi-probe must recover most of the exact top-10. Random
+    embeddings are the worst case for IVF (no cluster structure), so the
+    floor is modest — the contract is 'candidates shrink, quality mostly
+    survives', not exactness."""
+    from big_data_imdb_classifier_spark.operators import similarity as SIM
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = SIM.knn_exact_cosine(emb, queries, k=10)
+    ivf = SIM.knn_ivf(emb, queries, k=10, n_clusters=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    # and every IVF hit must carry the true cosine (verify step is exact)
+    sims_exact = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    for r in ivf.collect():
+        if (r.query_id, r.neighbor_id) in sims_exact:
+            assert abs(r.sim - sims_exact[(r.query_id, r.neighbor_id)]) < 1e-9
