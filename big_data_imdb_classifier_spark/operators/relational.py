@@ -152,3 +152,51 @@ def count_enrich_salted(
     return df.join(F.broadcast(totals), key, "left").select(
         *df.columns, count_col
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    carry: Sequence[str],
+    strict: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row with
+    ``right.ts < left.ts`` (``<=`` when strict=False), matched on
+    ``keys`` — an operator Spark lacks natively.
+
+    Implemented as the union+window rewrite, not a range join: tag both
+    sides, sort within each key group by (ts, side) and carry the right
+    side's payload forward with ``last_value(ignorenulls)``. ONE shuffle
+    on the keys, state bounded by one row of carry columns — this is the
+    shape that survives 100 TB, where an interval/range join would
+    explode to |left|×|right-per-key| comparisons. Strictness is encoded
+    purely in the sort order of ties (left-before-right for ``<``,
+    right-before-left for ``<=``).
+    """
+    r_payload = [f"_r_{c}" for c in carry]
+    lt = left.withColumn("_is_r", F.lit(0))
+    rt = (
+        right.select(
+            *keys, ts_col, *[F.col(c).alias(f"_r_{c}") for c in carry]
+        )
+        .withColumn("_is_r", F.lit(1))
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+
+    side_order = F.asc("_is_r") if strict else F.desc("_is_r")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc(ts_col), side_order, *[F.asc(c) for c in r_payload])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carry:
+        u = u.withColumn(
+            f"{c}{suffix}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    return (
+        u.where(F.col("_is_r") == 0)
+        .drop("_is_r", *r_payload)
+    )

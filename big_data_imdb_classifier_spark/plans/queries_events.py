@@ -247,3 +247,44 @@ def event_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "event_asof_last_purchase",
+    oracle=f"""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '{_FMT_DUCK}') AS click_ts,
+           strftime(p.ts, '{_FMT_DUCK}') AS last_purchase_ts
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts > p.ts
+    ORDER BY c.event_id
+    """,
+)
+def event_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent STRICTLY-prior
+    purchase timestamp (union+window rewrite, one shuffle — see
+    operators/relational.py:asof_join). The DuckDB oracle is a native
+    ASOF LEFT JOIN, so the rewrite's semantics are hash-match pinned to
+    the canonical definition."""
+    from ..operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = asof_join(
+        clicks,
+        purchases.withColumn("purchase_ts", F.col("ts")),
+        keys=["user_id"],
+        ts_col="ts",
+        carry=["purchase_ts"],
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT).alias("click_ts"),
+        F.date_format("purchase_ts_asof", _FMT).alias("last_purchase_ts"),
+    ).orderBy("event_id")

@@ -55,3 +55,29 @@ def upsert_parquet_cache(df: DataFrame, existing: DataFrame | None, key: str) ->
     if existing is None:
         return df
     return existing.unionByName(df).dropDuplicates([key])
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Bucketed parquet table sink: pre-shuffles data into ``buckets``
+    hash buckets on ``key`` (optionally sorted within buckets) so that
+    joins and aggregations on ``key`` between co-bucketed tables need NO
+    exchange at read time — the shuffle is paid once at write time and
+    amortized over every subsequent query. This is the canonical 100 TB
+    fact⋈fact strategy when one side can't broadcast.
+
+    ``path`` makes it an external table (data at path, metadata in the
+    session catalog).
+    """
+    w = df.write.bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.mode("overwrite").format("parquet").saveAsTable(table)

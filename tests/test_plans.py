@@ -89,3 +89,31 @@ def test_events_scan_prunes_columns(spark):
     read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     # the nanos-ts repair projection must not force reading other columns
     assert "value" not in read_cols and "props" not in read_cols, read_cols
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-bucketed tables must join with zero shuffles: the Exchange is
+    paid once at write time (write_bucketed), not per query."""
+    from big_data_imdb_classifier_spark.sources.sinks import write_bucketed
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+
+    write_bucketed(li, "b_li", "l_orderkey", 8, path=str(tmp_path / "b_li"))
+    write_bucketed(od, "b_od", "l_orderkey", 8, path=str(tmp_path / "b_od"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_li").join(spark.table("b_od"), "l_orderkey")
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in executed, executed
+        assert "SortMergeJoin" in executed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_od")

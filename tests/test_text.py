@@ -189,3 +189,35 @@ def test_count_enrich_salted_matches_window_variant(spark):
     assert sorted(tuple(r) for r in a.collect()) == sorted(
         tuple(r) for r in b.collect()
     )
+
+
+def test_asof_join_strict_vs_inclusive(spark):
+    """Strictness contract: a right row at exactly the left timestamp is
+    excluded under strict=True, included under strict=False."""
+    from datetime import datetime
+
+    from big_data_imdb_classifier_spark.operators.relational import asof_join
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "L1"),
+         (1, ts("2024-01-01T12:00:00"), "L2")],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), 100.0),
+         (1, ts("2024-01-01T11:00:00"), 200.0)],
+        "k long, ts timestamp, v double",
+    )
+    strict = {
+        r.name: r.v_asof
+        for r in asof_join(left, right, ["k"], "ts", ["v"], strict=True).collect()
+    }
+    incl = {
+        r.name: r.v_asof
+        for r in asof_join(left, right, ["k"], "ts", ["v"], strict=False).collect()
+    }
+    assert strict == {"L1": None, "L2": 200.0}
+    assert incl == {"L1": 100.0, "L2": 200.0}
