@@ -358,3 +358,75 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components_min_label(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: every node adopts the smallest id reachable in
+    ≤ max_iter hops. Converges in O(graph diameter) rounds — near-dup
+    clusters are small and dense (diameter 2-3 in practice), so a bounded
+    iteration count is the pragmatic distributed choice (same loop shape
+    as GraphFrames' CC without the dependency).
+
+    Returns (node, component) where component = min doc id of the
+    cluster. Each round is two shuffles (join + min-agg) over the EDGE
+    list only; localCheckpoint truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("component")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, rate_num: int, rate_den: int
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5(key) bucket (mod
+    rate_den) falls below rate_num — the reproducible downsampling a
+    training-data pipeline needs (same subset on every run/cluster, no
+    RNG state, joins cleanly against itself across tables sharing the
+    key). Pure projection+filter, no shuffle."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(rate_den),
+    )
+    return df.where(bucket < rate_num)

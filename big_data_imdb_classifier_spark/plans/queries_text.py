@@ -423,3 +423,132 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.simhash_near_dup_pairs(
         docs, id_col="doc_id", text_col="text", max_hamming=3, bands=4
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: survivors, vocabulary, filtering, sampling, clustering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_survivors",
+    oracle="""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+        row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id)
+          AS rn
+      FROM documents
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *applied* exact dedup: the corpus with one survivor (min
+    doc_id) per distinct content — what a training pipeline actually
+    feeds downstream. Window-rank formulation: one shuffle, no join."""
+    from ..operators.relational import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", TX.fingerprint_col("text").alias("_fp")
+    )
+    return (
+        top_k_per_group(keyed, ["_fp"], [F.asc("doc_id")], k=1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents)
+    SELECT token, count(*)::BIGINT AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens → count → deterministic top-20.
+    Partial aggregation absorbs token mass map-side; the final top-k is
+    TakeOrderedAndProject (no global sort materialization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_QUALITY_SQL = f"""(0.4 * least(len(t) / 50.0, 1.0)
+      + 0.4 * least((len(list_filter(t, x -> list_contains({_SW_SQL}, x)))
+                     / greatest(len(t), 1)) * 5, 1.0)
+      + 0.2 * (1 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                          / greatest(length(text), 1)) * 5, 1.0)))"""
+
+
+@query(
+    "quality_filter_stats",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, {_QUALITY_SQL} AS q
+      FROM (SELECT source, text, {_TOKS} AS t FROM documents)
+    )
+    SELECT source,
+      count(*)::BIGINT AS n_docs,
+      count(*) FILTER (q >= 0.5)::BIGINT AS n_kept,
+      round(count(*) FILTER (q >= 0.5) / count(*), {ROUND_DIGITS}) AS keep_rate
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filtering step of a training-data pipeline: score every
+    doc, keep quality ≥ 0.5, report per-source survival. One scan, one
+    shuffle; the filter is a pure projection so at 100 TB the kept subset
+    streams straight to the next stage without materializing scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score_col("text", _SW)
+    return (
+        docs.select("source", q.alias("_q"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("_q") >= 0.5, 1)).alias("n_kept"),
+            F.round(
+                F.count(F.when(F.col("_q") >= 0.5, 1)) / F.count("*"),
+                ROUND_DIGITS,
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_by_hash_quarter",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 4 < 1
+    ORDER BY doc_id
+    """,
+)
+def sample_by_hash_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/4 downsample by content-independent key hash —
+    reproducible across runs and clusters (no RNG state), which is what
+    makes sampled corpora auditable. Pure filter: pushdown-friendly,
+    no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.sample_by_hash(docs, "doc_id", 1, 4).select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
+@query("near_dup_clusters")  # rows-only: iterative algorithm
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs (jaccard ≥ 0.5) → connected
+    components by min-label propagation → (node, component). The final
+    dedup primitive: keep component == node, drop the rest. Convergence
+    and label correctness pytest-gated (tests/test_text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = TX.minhash_lsh_near_dup_pairs(docs).where(F.col("jaccard") >= 0.5)
+    return TX.connected_components_min_label(pairs).orderBy("node")

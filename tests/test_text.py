@@ -221,3 +221,60 @@ def test_asof_join_strict_vs_inclusive(spark):
     }
     assert strict == {"L1": None, "L2": 200.0}
     assert incl == {"L1": 100.0, "L2": 200.0}
+
+
+def test_connected_components_min_label(spark):
+    """Hand graph: two components + a chain that needs multi-hop
+    propagation; labels must equal the true min of each component."""
+    from big_data_imdb_classifier_spark.operators.text import (
+        connected_components_min_label,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 8),          # chain -> component 5
+         (1, 9), (2, 9),                  # star  -> component 1
+         (20, 30)],                       # pair  -> component 20
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components_min_label(pairs, max_iter=10).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5,
+                   1: 1, 2: 1, 9: 1,
+                   20: 20, 30: 20}
+
+
+def test_near_dup_clusters_against_union_find(spark):
+    """On the real corpus: distributed CC must match a driver union-find
+    over the same pair list."""
+    from big_data_imdb_classifier_spark.operators import text as TX
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs_df = TX.minhash_lsh_near_dup_pairs(docs).where(F.col("jaccard") >= 0.5)
+    pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
+    assert pairs, "corpus should contain near-dup pairs"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    got = {
+        r.node: r.component
+        for r in TX.connected_components_min_label(pairs_df).collect()
+    }
+    assert got == want
