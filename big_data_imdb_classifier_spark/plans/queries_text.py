@@ -552,3 +552,45 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = TX.minhash_lsh_near_dup_pairs(docs).where(F.col("jaccard") >= 0.5)
     return TX.connected_components_min_label(pairs).orderBy("node")
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: per-source z-score of n_chars (population
+    std). Runs on executors, one pandas frame per group."""
+    mu = pdf["n_chars"].mean()
+    sd = float(pdf["n_chars"].std(ddof=0))
+    z = (pdf["n_chars"] - mu) / sd if sd > 0 else pdf["n_chars"] * 0.0
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "source": pdf["source"], "z_chars": z.round(4)}
+    )
+
+
+@query(
+    "text_zscore_by_source",
+    oracle="""
+    SELECT doc_id, source,
+      round(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY source) > 0
+                 THEN (n_chars - avg(n_chars) OVER (PARTITION BY source))
+                      / stddev_pop(n_chars) OVER (PARTITION BY source)
+                 ELSE 0.0 END, 4) AS z_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (SURVEY §2.11c): per-group normalization
+    where each group is handed to pandas as one frame — the UDTF-like
+    extension point. The oracle restates it with window functions, so the
+    grouped-map path itself is hash-match verified.
+
+    Scale note: one shuffle on the group key, and each group must fit in
+    one executor's pandas frame — right for bounded groups (sources);
+    unbounded groups should use the pure-window formulation the oracle
+    shows."""
+    docs = load_table(spark, sf_dir, "documents")
+    out_schema = "doc_id long, source string, z_chars double"
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .groupBy("source")
+        .applyInPandas(_zscore_group, schema=out_schema)
+        .orderBy("doc_id")
+    )

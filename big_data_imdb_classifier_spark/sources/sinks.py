@@ -81,3 +81,14 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet sink: one directory per partition
+    value, so date/tenant-scoped queries read only their partitions
+    (partition pruning happens at planning time — see
+    tests/test_plans.py::test_partitioned_write_prunes). The standard
+    layout for append-mostly 100 TB fact tables."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)

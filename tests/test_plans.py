@@ -117,3 +117,28 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_od")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Date-partitioned layout must prune to one partition's files when
+    filtered on the partition column."""
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.sources.sinks import write_partitioned
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["day"])
+
+    days = [r.day for r in spark.read.parquet(path).select("day").distinct().collect()]
+    assert len(days) > 1, "need multiple partitions for a pruning test"
+
+    one = spark.read.parquet(path).where(F.col("day") == days[0])
+    plan = _explain(spark, one)
+    # partition filter recognized at the scan
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200], plan
+    # and the row count matches the partition exactly
+    want = ev.where(F.col("day") == days[0]).count()
+    assert one.count() == want

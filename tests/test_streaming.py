@@ -97,3 +97,31 @@ def test_stateful_running_totals_matches_batch(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_stream_to_parquet_sink_with_checkpoint(spark, tmp_path):
+    """File-sink streaming: availableNow drain into a partitioned parquet
+    sink with a checkpoint; a second start with the same checkpoint must
+    be a no-op (exactly-once file sink semantics), not a duplicate."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        ev = ST.load_events_stream(spark, SF_SMOKE)
+        q = (
+            ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("day")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n_batch = load_table(spark, SF_SMOKE, "events").count()
+    assert spark.read.parquet(out).count() == n_batch
+    drain()  # same checkpoint, no new input -> no duplicates
+    assert spark.read.parquet(out).count() == n_batch
