@@ -47,8 +47,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",               # exact inverted-index Jaccard
     "event_window_tumbling",             # event-time tumbling agg
     "event_sessionization",              # session windows
+    "event_asof_last_purchase",          # as-of join (union+window)
     "mm_decode_metadata",                # Arrow multimodal decode
     "enrich_mock_llm_topics",            # mapInPandas enrichment
+    "quality_filter_stats",              # corpus quality filtering
 ]
 
 

@@ -168,3 +168,18 @@ def ml_scaler_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, m, s in zip(SPEC.numeric_cols, means, stds)
     )
     return spark.createDataFrame(rows, "feature string, mean double, std double")
+
+
+@query("ml_rf_confusion_matrix")  # rows-only: depends on the trained model
+def ml_rf_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hold-out confusion matrix (label × prediction counts) — the
+    evaluator surface beyond a single accuracy scalar (M7/A6). Uses the
+    per-session fitted model cache; one groupBy over the transformed
+    hold-out."""
+    model, _, test_df = _fitted(spark, sf_dir)
+    preds = model.transform(test_df)
+    return (
+        preds.groupBy("label", "prediction")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "prediction")
+    )
