@@ -179,6 +179,9 @@ def minhash_lsh_near_dup_pairs(
     rows = num_hashes // bands
     assert rows * bands == num_hashes, "num_hashes must divide into bands"
 
+    # A small parquet corpus scans as ONE partition; repartition first so
+    # the CPU-heavy shingle+md5 pipeline uses every core, not one task.
+    df = df.repartition(id_col)
     sh = df.select(id_col, word_shingles_col(text_col, k).alias("shingles"))
     sig = sh.select(
         id_col,
@@ -260,7 +263,7 @@ def simhash(
     xxhash64 differs from DuckDB's hash, so this op is rows-only checked
     by the driver (pytest asserts the metric properties instead).
     """
-    toks = df.select(
+    toks = df.repartition(id_col).select(
         id_col, F.explode(F.array_distinct(tokens_col(text_col))).alias("_tok")
     ).withColumn("_h", F.xxhash64("_tok"))
     aggs = [

@@ -387,16 +387,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort shingles by global frequency, index only each doc's rarest few)
     to bound the index join."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    # One-file corpus scans as one partition — spread the shingle work.
+    sh = docs.repartition("doc_id").select(
         "doc_id", TX.word_shingles_col("text", 3).alias("s")
     )
     # Carry each doc's set SIZE through the explode so no join back to the
     # shingle sets is needed; repartition on the join key makes the two
     # self-join branches share ONE Exchange (ReusedExchange), so the
-    # shingle pipeline is computed once, not once per branch.
-    inv = sh.select(
-        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("g")
-    ).repartition("g")
+    # shingle pipeline is computed once, not once per branch. The join key
+    # is the xxhash64 of the shingle — 8-byte shuffle rows instead of
+    # ~20-byte strings (a 64-bit collision merging two distinct shingles
+    # has probability ~|vocab|²/2⁶⁴ ≈ 1e-10 at 100 TB vocab sizes).
+    inv = (
+        sh.select("doc_id", F.size("s").alias("sz"), F.explode("s").alias("_g"))
+        .select("doc_id", "sz", F.xxhash64("_g").alias("g"))
+        .repartition("g")
+    )
     a = inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_na"), "g")
     b = inv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_nb"), "g")
     pairs = (
