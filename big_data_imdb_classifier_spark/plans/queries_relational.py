@@ -753,3 +753,31 @@ def join_dup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_mktsegment",
     ).orderBy("orderkey")
+
+
+@query(
+    "sql_correlated_above_nation_avg",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_above
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def sql_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL API surface: temp views + a correlated scalar
+    subquery, planned by Catalyst as a de-correlated aggregate+join (no
+    per-row re-execution). Customers above their own nation's average
+    balance, counted per nation."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_above
+        FROM v_customer c JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM v_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY n_name ORDER BY n_name
+        """
+    )

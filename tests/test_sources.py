@@ -46,3 +46,33 @@ def test_timestamp_columns_are_timestamps(spark, name):
         assert isinstance(
             df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType)
         ), (c, df.schema[c].dataType)
+
+
+def test_csv_corrupt_record_isolation(spark, tmp_path):
+    """PERMISSIVE scan isolates malformed rows into _corrupt_record
+    instead of failing the job — the resilience contract a 100 TB ingest
+    needs (one bad row must not kill a 6-hour scan)."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,val\n1,10\nnot_a_number_row_with,too,many,cols\n3,30\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("val", T.LongType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    good = df.where(df._corrupt_record.isNull())
+    bad = df.where(df._corrupt_record.isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "too,many,cols" in bad.first()._corrupt_record
