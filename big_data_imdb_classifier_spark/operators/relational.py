@@ -200,3 +200,52 @@ def asof_join(
         u.where(F.col("_is_r") == 0)
         .drop("_is_r", *r_payload)
     )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lookback_sec: int,
+    count_col: str = "n_in_range",
+    bucket_sec: int | None = None,
+) -> DataFrame:
+    """Banded range join: for each left row, count right rows with
+    ``left_ts - lookback < right_ts < left_ts`` on the same keys.
+
+    A naive time-range join degenerates to per-key cross products. Here
+    both sides are bucketed into ``bucket_sec`` time bands (default: the
+    lookback window) and each left row probes only its own and the
+    previous covering buckets — an EQUI-join on (keys, bucket) whose
+    fan-out is bounded by ceil(lookback/bucket)+1, followed by the exact
+    range predicate. This is the standard rewrite that makes interval
+    joins shuffle-bounded at 100 TB.
+    """
+    bucket_sec = bucket_sec or lookback_sec
+    n_buckets = lookback_sec // bucket_sec + 1
+
+    r = right.select(
+        *keys, F.col(right_ts).cast("long").alias("_rts")
+    ).withColumn("_bkt", (F.col("_rts") / bucket_sec).cast("long"))
+
+    l = left.withColumn("_lts", F.col(left_ts).cast("long")).withColumn(
+        "_bkt0", (F.col("_lts") / bucket_sec).cast("long")
+    )
+    probes = F.array(*[F.col("_bkt0") - i for i in range(n_buckets + 1)])
+    le = l.withColumn("_bkt", F.explode(probes))
+
+    joined = le.join(r, [*keys, "_bkt"], "left").withColumn(
+        "_hit",
+        F.when(
+            (F.col("_rts") < F.col("_lts"))
+            & (F.col("_rts") > F.col("_lts") - lookback_sec),
+            1,
+        ).otherwise(0),
+    )
+    group_cols = [c for c in left.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.sum("_hit").cast("long").alias(count_col))
+    )

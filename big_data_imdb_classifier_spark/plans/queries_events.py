@@ -288,3 +288,47 @@ def event_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _FMT).alias("click_ts"),
         F.date_format("purchase_ts_asof", _FMT).alias("last_purchase_ts"),
     ).orderBy("event_id")
+
+
+@query(
+    "event_range_join_clicks_before_purchase",
+    oracle=f"""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{_FMT_DUCK}') AS purchase_ts,
+           (SELECT count(*) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts < p.ts AND c.ts > p.ts - INTERVAL '1 hour')::BIGINT
+             AS n_clicks_1h
+    FROM events p WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+)
+def event_range_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range join: clicks in the hour before each purchase, per user —
+    banded-bucket equi-join rewrite (operators/relational.py:
+    range_join_count), hash-matched against DuckDB's correlated range
+    count."""
+    from ..operators.relational import range_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click")
+    out = range_join_count(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lookback_sec=3600,
+        count_col="n_clicks_1h",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT).alias("purchase_ts"),
+        "n_clicks_1h",
+    ).orderBy("event_id")
