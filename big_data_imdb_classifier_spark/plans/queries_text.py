@@ -600,3 +600,65 @@ def text_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_zscore_group, schema=out_schema)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+        tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, rnk::BIGINT AS rnk, term,
+           round(tfidf, {ROUND_DIGITS}) AS tfidf
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, built natively: explode → TF
+    groupBy → DF groupBy → broadcast joins → rank window. The smoothed
+    IDF (ln((N+1)/(df+1))+1) matches the classic formulation; the
+    document-frequency table is vocabulary-sized and broadcast, so the
+    corpus shuffles once for TF and once for the per-doc ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.repartition("doc_id").select(
+        "doc_id", F.explode(TX.tokens_col("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n_docs = docs.count()
+    idf = F.log((F.lit(n_docs + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("tfidf")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", F.round("tfidf", ROUND_DIGITS).alias("tfidf"))
+        .orderBy("doc_id", "rnk")
+    )
