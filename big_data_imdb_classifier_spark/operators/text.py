@@ -433,3 +433,85 @@ def sample_by_hash(
         F.lit(rate_den),
     )
     return df.where(bucket < rate_num)
+
+
+def incremental_dedup(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-batch incremental dedup: drop docs whose content fingerprint
+    was seen in ANY previous batch, then register the survivors'
+    fingerprints. The training-pipeline shape for rolling crawls — a new
+    batch never rescans history, it anti-joins the fingerprint store
+    (droplet vs ocean: the store holds one md5 per distinct content ever
+    seen, not the corpus).
+
+    Within-batch duplicates also collapse (min id survives). Returns the
+    surviving rows of ``new_docs``; the store at ``store_path`` is
+    updated atomically (same tmp-swap pattern as the enrichment cache).
+    """
+    import os
+    import shutil
+
+    fp = new_docs.withColumn("_fp", fingerprint_col(text_col))
+
+    seen = None
+    if store_path and os.path.exists(store_path):
+        seen = spark.read.parquet(store_path)
+
+    fresh = fp
+    if seen is not None:
+        fresh = fp.join(seen, fp["_fp"] == seen["fingerprint"], "left_anti")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp").orderBy(F.asc(id_col))
+    survivors = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    if store_path:
+        # Materialize survivors BEFORE the store swap: the anti-join's
+        # lineage reads the store files the swap is about to replace.
+        survivors = survivors.localCheckpoint(eager=True)
+        new_fps = survivors.select(F.col("_fp").alias("fingerprint"))
+        merged = new_fps if seen is None else seen.unionByName(new_fps).distinct()
+        tmp = store_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(store_path):
+            shutil.rmtree(store_path)
+        os.rename(tmp, store_path)
+
+    return survivors.drop("_fp")
+
+
+def sample_by_hash_stratified(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, tuple[int, int]],
+    default_rate: tuple[int, int] = (1, 1),
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling: each stratum keeps its own
+    num/den fraction of rows (by key hash), unknown strata keep
+    ``default_rate``. The reproducible analogue of ``sampleBy`` — corpus
+    rebalancing (downsample the dominant source, keep the rare one) with
+    run-to-run stable membership and no RNG state. Pure projection+filter."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(1_000_000),
+    )
+    default_keep = bucket < F.lit(default_rate[0] * 1_000_000 // default_rate[1])
+    keep = default_keep
+    for stratum, (num, den) in sorted(rates.items()):
+        keep = F.when(
+            F.col(strata_col) == stratum, bucket < F.lit(num * 1_000_000 // den)
+        ).otherwise(keep)
+    return df.where(keep)

@@ -662,3 +662,34 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rnk", "term", F.round("tfidf", ROUND_DIGITS).alias("tfidf"))
         .orderBy("doc_id", "rnk")
     )
+
+
+_STRATA_RATES = {"src0": (1, 2), "src1": (1, 4)}  # others keep everything
+
+
+@query(
+    "sample_stratified_by_source",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+        CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+          % 1000000 AS bkt
+      FROM documents
+    )
+    SELECT doc_id, source FROM b
+    WHERE CASE source
+            WHEN 'src0' THEN bkt < 500000
+            WHEN 'src1' THEN bkt < 250000
+            ELSE bkt < 1000000 END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: keep 1/2 of src0, 1/4 of
+    src1, all of every other source — the corpus-rebalancing shape, with
+    reproducible membership (hash buckets, no RNG)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.sample_by_hash_stratified(
+        docs, key_col="doc_id", strata_col="source", rates=_STRATA_RATES
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")

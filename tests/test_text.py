@@ -278,3 +278,30 @@ def test_near_dup_clusters_against_union_find(spark):
         for r in TX.connected_components_min_label(pairs_df).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Batch 2 must drop content already registered by batch 1, keep new
+    content, and collapse its own internal duplicates."""
+    from big_data_imdb_classifier_spark.operators.text import incremental_dedup
+
+    store = str(tmp_path / "fp_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    s1 = incremental_dedup(spark, b1, store)
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]  # 3 is an in-batch dup
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"),        # seen in batch 1 -> dropped
+         (11, "epsilon zeta"),      # new -> kept
+         (12, "epsilon zeta")],     # in-batch dup -> dropped
+        "doc_id long, text string",
+    )
+    s2 = incremental_dedup(spark, b2, store)
+    assert sorted(r.doc_id for r in s2.collect()) == [11]
+
+    # re-running batch 2 is a no-op (its content is now registered)
+    s3 = incremental_dedup(spark, b2, store)
+    assert s3.count() == 0
