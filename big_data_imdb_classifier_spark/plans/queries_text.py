@@ -693,3 +693,98 @@ def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, key_col="doc_id", strata_col="source", rates=_STRATA_RATES
     )
     return out.select("doc_id", "source").orderBy("doc_id")
+
+
+_PREFIX_THRESHOLD = 0.8  # prefix filtering pays when 1-t is small
+
+
+@query(
+    "dedup_ngram_jaccard_prefix",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      round(n_common::DOUBLE / (len(x.s) + len(y.s) - n_common),
+            {ROUND_DIGITS}) AS jaccard
+    FROM p JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    WHERE n_common::DOUBLE / (len(x.s) + len(y.s) - n_common)
+          >= {_PREFIX_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED exact n-gram Jaccard — same result as
+    ``dedup_ngram_jaccard`` (identical oracle), asymptotically better
+    index: by the prefix-filtering theorem, two sets with Jaccard ≥ t
+    must share an element within their first ``|s| - ceil(t·|s|) + 1``
+    shingles under ANY global total order — so only those are indexed.
+    Ordering by ascending global document frequency makes the indexed
+    shingles the RAREST ones, collapsing the candidate count on
+    low-entropy corpora (the case that blows up the naive inverted
+    index at 100 TB). Verification computes the full Jaccard, so the
+    filter can only prune, never err."""
+    t = _PREFIX_THRESHOLD
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.repartition("doc_id").select(
+        "doc_id", TX.word_shingles_col("text", 3).alias("s")
+    )
+    inv = sh.select(
+        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("g")
+    )
+    dfreq = inv.groupBy("g").agg(F.count("*").alias("_df"))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("g"))
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    idx = (
+        inv.join(F.broadcast(dfreq), "g")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= prefix_len)
+        .select("doc_id", "g")
+        .repartition("g")
+        # Materialize the (small) prefix index once: its lineage (shingle
+        # explode + DF join + rank window) would otherwise re-execute for
+        # each self-join branch.
+        .localCheckpoint(eager=False)
+    )
+    a = idx.select(F.col("doc_id").alias("doc_a"), "g")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "g")
+    # Explicit partition count: the candidate set is tiny in BYTES but
+    # heavy in per-row verify CPU — AQE's size-based coalescing would
+    # collapse it onto one core. A user-specified count is honored.
+    n_part = spark.sparkContext.defaultParallelism
+    cand = (
+        a.join(b, ["g"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .repartition(n_part, "doc_a")
+    )
+    # Verify WITHOUT shuffling shingle arrays per candidate pair: the
+    # per-doc shingle table is corpus-vocabulary-sized, so broadcast it
+    # to the candidates (at scale: broadcast only candidate docs' sets —
+    # few by design when the prefix filter prunes well).
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb"))
+    jac = (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "_j",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.greatest(
+                F.size(F.array_union("_sa", "_sb")), F.lit(1)
+            ),
+        )
+        .where(F.col("_j") >= t)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.round("_j", ROUND_DIGITS).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
