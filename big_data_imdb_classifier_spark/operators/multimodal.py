@@ -260,3 +260,47 @@ def resize_images(corpus: DataFrame, width: int, height: int) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in THUMB_SCHEMA])
 
     return corpus.mapInPandas(run, schema=THUMB_SCHEMA)
+
+
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("chunk_no", T.LongType(), True),
+        T.StructField("start_ms", T.LongType(), True),
+        T.StructField("end_ms", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+    ]
+)
+
+
+def chunk_audio(corpus: DataFrame, chunk_ms: int = 10_000) -> DataFrame:
+    """Fixed-duration audio chunking (the audio twin of sample_frames):
+    each audio row explodes into ceil(duration/chunk) chunk descriptors
+    with sample counts from the stub-decoded sample_rate.  A real
+    implementation slices the payload bytes at the same offsets; the
+    bounded explode and Arrow batch shape are identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, m, c in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
+                if m != "audio":
+                    continue
+                meta = _fake_decode(m, bytes(c))
+                dur, rate = meta["duration_ms"], meta["sample_rate"]
+                n_chunks = (dur + chunk_ms - 1) // chunk_ms
+                for i in range(n_chunks):
+                    start = i * chunk_ms
+                    end = min(dur, start + chunk_ms)
+                    out.append(
+                        {
+                            "doc_id": d,
+                            "chunk_no": i,
+                            "start_ms": start,
+                            "end_ms": end,
+                            "n_samples": (end - start) * rate // 1000,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in CHUNKS_SCHEMA])
+
+    return corpus.mapInPandas(run, schema=CHUNKS_SCHEMA)

@@ -124,3 +124,35 @@ def mm_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbs.select(
         "doc_id", "width", "height", F.length("thumbnail").alias("thumb_bytes")
     ).orderBy("doc_id")
+
+
+@query(
+    "mm_audio_chunks",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+        {_HX.format(i=5)} % 60000 + 1000 AS dur,
+        CAST({_RATES}[CAST({_HX.format(i=1)} % 4 AS INT) + 1] AS BIGINT) AS rate
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    c AS (
+      SELECT doc_id, dur, rate,
+        unnest(generate_series(0, CAST((dur + 9999) // 10000 AS INT) - 1))
+          AS chunk_no
+      FROM a
+    )
+    SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+      (chunk_no * 10000)::BIGINT AS start_ms,
+      least(dur, chunk_no * 10000 + 10000)::BIGINT AS end_ms,
+      ((least(dur, chunk_no * 10000 + 10000) - chunk_no * 10000) * rate
+        // 1000)::BIGINT AS n_samples
+    FROM c ORDER BY doc_id, chunk_no
+    """,
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 10s audio chunking of the audio rows (bounded explode in the
+    pandas batch) — chunk boundaries and sample counts hash-matched from
+    the md5-derived stub metadata."""
+    return MM.chunk_audio(_corpus(spark, sf_dir), chunk_ms=10_000).orderBy(
+        "doc_id", "chunk_no"
+    )

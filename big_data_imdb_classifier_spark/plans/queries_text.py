@@ -788,3 +788,21 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select(
         "doc_a", "doc_b", F.round("_j", ROUND_DIGITS).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+@query("near_dup_survivors")  # rows-only: built on the iterative clustering
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup dedup: MinHash-LSH pairs (jaccard ≥ 0.5) →
+    connected components → drop every non-representative cluster member →
+    remaining corpus doc_ids. The composition a 100 TB curation pipeline
+    actually runs; exact-dedup survivors (dedup_survivors) handle
+    identical content, this handles the near-identical tail."""
+    from ..operators.relational import anti_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = TX.minhash_lsh_near_dup_pairs(docs).where(F.col("jaccard") >= 0.5)
+    comps = TX.connected_components_min_label(pairs)
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return anti_join(docs.select("doc_id"), losers, "doc_id").orderBy("doc_id")

@@ -76,3 +76,22 @@ def test_csv_corrupt_record_isolation(spark, tmp_path):
     assert good.count() == 2
     assert bad.count() == 1
     assert "too,many,cols" in bad.first()._corrupt_record
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: later files add a column; mergeSchema unions the
+    schemas and back-fills nulls — the append-mostly table contract."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) >= {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.select("id", "score").collect()}
+    assert rows[1] is None and rows[2] == 9.5
