@@ -127,3 +127,52 @@ def save_model(model: PipelineModel, path: str) -> None:
 def load_model(path: str) -> PipelineModel:
     """S8 source."""
     return PipelineModel.load(path)
+
+
+def tune_rf(
+    spec: ClassifierSpec,
+    train_df: DataFrame,
+    num_trees_grid: list[int] = (20, 50),
+    max_depth_grid: list[int] = (5, 10),
+    train_ratio: float = 0.75,
+    seed: int = 42,
+):
+    """M7 extension: hyperparameter search over the RF stage with
+    TrainValidationSplit (one split, |grid| fits — the scale-sane default
+    vs k-fold CV's k×|grid| fits). Returns (best_model, metrics) where
+    metrics is [(numTrees, maxDepth, validation_accuracy)] in grid order.
+
+    The whole Pipeline is the estimator, so every fold re-fits indexers
+    and scaler on its own split — no state leakage from validation rows.
+    """
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    pipeline = build_pipeline(spec)
+    rf = pipeline.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, list(num_trees_grid))
+        .addGrid(rf.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    tvs = TrainValidationSplit(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol=spec.label_col, predictionCol="prediction",
+            metricName="accuracy",
+        ),
+        trainRatio=train_ratio,
+        seed=seed,
+        parallelism=2,
+    )
+    model = tvs.fit(train_df)
+    metrics = [
+        (
+            int(pm[rf.numTrees]),
+            int(pm[rf.maxDepth]),
+            float(m),
+        )
+        for pm, m in zip(grid, model.validationMetrics)
+    ]
+    return model.bestModel, metrics

@@ -332,3 +332,39 @@ def event_range_join_clicks_before_purchase(
         F.date_format("ts", _FMT).alias("purchase_ts"),
         "n_clicks_1h",
     ).orderBy("event_id")
+
+
+@query(
+    "event_rolling_1h_user_sum",
+    oracle=f"""
+    SELECT event_id, user_id,
+      strftime(ts, '{_FMT_DUCK}') AS ts_str,
+      round(sum(value) OVER (
+        PARTITION BY user_id ORDER BY epoch(ts)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+      ), 2) AS rolling_1h_sum
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def event_rolling_1h_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour value sum — the
+    value-based frame (rangeBetween over epoch seconds) that rows-frames
+    can't express when event spacing is irregular. One shuffle on
+    user_id; frame evaluation is a sliding aggregate within the sorted
+    partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _FMT).alias("ts_str"),
+            F.round(F.sum("value").over(w), 2).alias("rolling_1h_sum"),
+        )
+        .orderBy("event_id")
+    )

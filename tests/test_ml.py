@@ -76,3 +76,25 @@ def test_feature_importances_named_and_normalized(spark):
     # the price-correlated features should dominate the priority flag
     imp = dict(pairs)
     assert imp["max_extprice"] + imp["sum_qty"] > imp["o_orderpriority_index"]
+
+
+def test_rf_hyperparameter_tuning_surface(spark):
+    """TrainValidationSplit over a small grid: returns one metric per
+    grid point, best model predicts, and the best metric is the max."""
+    from big_data_imdb_classifier_spark.ml.pipeline import ClassifierSpec, tune_rf
+    from big_data_imdb_classifier_spark.plans.queries_ml import SPEC, training_frame
+
+    df = training_frame(spark, "/root/testdata/sf0.001")
+    spec = ClassifierSpec(
+        numeric_cols=SPEC.numeric_cols,
+        categorical_cols=SPEC.categorical_cols,
+    )
+    best, metrics = tune_rf(
+        spec, df, num_trees_grid=[5, 10], max_depth_grid=[3], train_ratio=0.75
+    )
+    assert len(metrics) == 2
+    assert all(0.0 <= m <= 1.0 for _, _, m in metrics)
+    best_acc = max(m for _, _, m in metrics)
+    assert any(abs(m - best_acc) < 1e-12 for _, _, m in metrics)
+    preds = best.transform(df)
+    assert preds.select("prediction").distinct().count() >= 1
