@@ -44,7 +44,7 @@ HEADLINE = [
     "simhash_signatures",                # SimHash
     "knn_exact_cosine",                  # brute-force top-k ANN baseline
     "knn_ann_hyperplane_lsh",            # LSH-bucketed ANN scale path
-    "dedup_ngram_jaccard",               # exact inverted-index Jaccard
+    "dedup_ngram_jaccard_prefix",        # exact Jaccard, prefix-filtered index
     "event_window_tumbling",             # event-time tumbling agg
     "event_sessionization",              # session windows
     "event_asof_last_purchase",          # as-of join (union+window)

@@ -781,3 +781,174 @@ def sql_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFra
         GROUP BY n_name ORDER BY n_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-window ranking family (W1 extension): ntile / percent_rank /
+# cume_dist / dense_rank.  The reference only ever needs rank-1
+# (data_utils.py:326-344); these complete the ranking surface a user of a
+# general engine expects.  One shuffle total: all four functions share a
+# single (partition, order) spec, so Catalyst plans ONE Window exchange.
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_ranking_funcs",
+    oracle=f"""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           NTILE(4)        OVER w AS bal_quartile,
+           DENSE_RANK()    OVER w AS bal_dense_rank,
+           ROUND(PERCENT_RANK() OVER w, {R}) AS bal_pct_rank,
+           ROUND(CUME_DIST()    OVER w, {R}) AS bal_cume_dist
+    FROM customer WHERE c_custkey <= 200
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY segment, custkey
+    """,
+)
+def window_ranking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/dense_rank/percent_rank/cume_dist over one shared window spec
+    (single exchange; deterministic via unique c_custkey tiebreak)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.ntile(4).over(w).alias("bal_quartile"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+            F.round(F.percent_rank().over(w), R).alias("bal_pct_rank"),
+            F.round(F.cume_dist().over(w), R).alias("bal_cume_dist"),
+        )
+        .orderBy("segment", "custkey")
+    )
+
+
+@query(
+    "grouping_sets_qty",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           ROUND(SUM(l_quantity), {R}) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_flag, g_status, returnflag NULLS FIRST, linestatus NULLS FIRST
+    """,
+)
+def grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) with GROUPING()
+    disambiguation of set-generated NULLs vs data NULLs — one Expand +
+    one hash aggregate, same single-shuffle shape as a plain groupBy."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status,
+               ROUND(SUM(l_quantity), {R}) AS sum_qty, COUNT(*) AS n
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY g_flag, g_status, returnflag NULLS FIRST,
+                 linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "date_funcs",
+    oracle=f"""
+    SELECT o_orderkey AS orderkey,
+           CAST(o_orderdate AS VARCHAR) AS order_date,
+           EXTRACT(year FROM o_orderdate)    AS o_year,
+           EXTRACT(quarter FROM o_orderdate) AS o_quarter,
+           EXTRACT(month FROM o_orderdate)   AS o_month,
+           EXTRACT(day FROM o_orderdate)     AS o_day,
+           CAST(LAST_DAY(o_orderdate) AS VARCHAR)           AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus_30d,
+           DATE_DIFF('day', DATE '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders WHERE o_orderkey <= 400 ORDER BY orderkey
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface (F5 family): extract fields, month end,
+    interval arithmetic, day difference — all JVM-side built-ins, dates
+    stringified on both sides so DATE/TIMESTAMP repr drift can't flip the
+    hash."""
+    d = F.col("o_orderdate")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 400)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            d.cast("string").alias("order_date"),
+            F.year(d).alias("o_year"),
+            F.quarter(d).alias("o_quarter"),
+            F.month(d).alias("o_month"),
+            F.dayofmonth(d).alias("o_day"),
+            F.last_day(d).cast("string").alias("month_end"),
+            F.date_add(d, 30).cast("string").alias("plus_30d"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+                "days_since_95"
+            ),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@query(
+    "array_higher_order",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, LIST(o_totalprice ORDER BY o_orderkey) AS prices
+        FROM orders WHERE o_custkey <= 100 GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey,
+           LEN(prices) AS n_orders,
+           ROUND(LIST_AGGREGATE(prices, 'sum'), {R}) AS total,
+           ROUND(LIST_MAX(prices), {R}) AS max_price,
+           ROUND(LIST_MIN(LIST_TRANSFORM(prices, x -> x * 1.07)), {R})
+               AS min_with_tax,
+           LEN(LIST_FILTER(prices, x -> x > 100000)) AS n_big
+    FROM per_cust ORDER BY custkey
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (the engine's array surface, used by
+    the embedding ops in operators/similarity.py): collect → aggregate /
+    transform / filter lambdas, all JVM-side (no Python UDF). Scalar
+    outputs only, so the driver hash is list-layout-independent."""
+    prices = F.array_sort(
+        F.collect_list(F.struct("o_orderkey", "o_totalprice"))
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(prices.alias("ps"))
+        .select(
+            "custkey",
+            F.size("ps").alias("n_orders"),
+            F.round(
+                F.aggregate(
+                    "ps", F.lit(0.0), lambda acc, s: acc + s["o_totalprice"]
+                ),
+                R,
+            ).alias("total"),
+            F.round(
+                F.array_max(F.transform("ps", lambda s: s["o_totalprice"])), R
+            ).alias("max_price"),
+            F.round(
+                F.array_min(
+                    F.transform("ps", lambda s: s["o_totalprice"] * 1.07)
+                ),
+                R,
+            ).alias("min_with_tax"),
+            F.size(
+                F.filter("ps", lambda s: s["o_totalprice"] > 100000)
+            ).alias("n_big"),
+        )
+        .orderBy("custkey")
+    )

@@ -142,3 +142,22 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # and the row count matches the partition exactly
     want = ev.where(F.col("day") == days[0]).count()
     assert one.count() == want
+
+
+def test_ranking_funcs_share_one_window_exchange(spark):
+    """ntile/dense_rank/percent_rank/cume_dist all use the same
+    (partition, order) spec, so Catalyst must plan exactly ONE hash
+    exchange (plus the final orderBy range exchange) and a single Window
+    operator — not one per function."""
+    plan = _plan(spark, "window_ranking_funcs")
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 1, plan
+    assert len(re.findall(r"\bWindow\b", plan)) <= 2, plan  # one node (+header)
+
+
+def test_grouping_sets_is_single_aggregate_pass(spark):
+    """GROUPING SETS must compile to Expand + one partial/final hash
+    aggregate pair — not a union of three separate groupBys."""
+    plan = _plan(spark, "grouping_sets_qty")
+    assert "Expand" in plan
+    assert "Union" not in plan, plan
