@@ -31,6 +31,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def repartition_for_cpu(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition with an EXPLICIT partition count (the cluster's default
+    parallelism). A count-less ``repartition(col)`` is advisory to AQE,
+    whose partition coalescing folds a tiny-bytes shuffle down to ONE
+    partition — correct for IO-bound plans, but it serializes the
+    CPU-heavy per-row stages that follow (shingling, per-shingle md5,
+    token hashing), where cost scales with compute per row, not bytes.
+    Pinning the count keeps one task per core; ``defaultParallelism`` is
+    total executor cores, so the choice scales with the cluster."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def tokens_col(text: Column | str) -> Column:
     """Whitespace tokenization."""
     return F.split(F.trim(F.col(text) if isinstance(text, str) else text), r"\s+")
@@ -179,9 +192,10 @@ def minhash_lsh_near_dup_pairs(
     rows = num_hashes // bands
     assert rows * bands == num_hashes, "num_hashes must divide into bands"
 
-    # A small parquet corpus scans as ONE partition; repartition first so
-    # the CPU-heavy shingle+md5 pipeline uses every core, not one task.
-    df = df.repartition(id_col)
+    # A small parquet corpus scans as ONE partition; repartition (with an
+    # explicit count — see repartition_for_cpu) so the CPU-heavy
+    # shingle+md5 pipeline uses every core, not one AQE-coalesced task.
+    df = repartition_for_cpu(df, id_col)
     sh = df.select(id_col, word_shingles_col(text_col, k).alias("shingles"))
     sig = sh.select(
         id_col,
@@ -230,7 +244,7 @@ def minhash_lsh_near_dup_pairs(
 
     # Same trick for the verify joins: one doc_id-partitioned shingle
     # frame feeds both sides through a shared Exchange.
-    shr = sh.repartition(id_col)
+    shr = repartition_for_cpu(sh, id_col)
     sa = shr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa"))
     sb = shr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb"))
     return (
@@ -263,7 +277,7 @@ def simhash(
     xxhash64 differs from DuckDB's hash, so this op is rows-only checked
     by the driver (pytest asserts the metric properties instead).
     """
-    toks = df.repartition(id_col).select(
+    toks = repartition_for_cpu(df, id_col).select(
         id_col, F.explode(F.array_distinct(tokens_col(text_col))).alias("_tok")
     ).withColumn("_h", F.xxhash64("_tok"))
     aggs = [

@@ -25,6 +25,24 @@ from .registry import ROUND_DIGITS, query
 
 _SW = TX.LANG_MARKERS["en"]  # stopword list shared with the oracle SQL
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``documents`` with enough partitions for CPU-bound work.
+
+    Every query in this module does CPU-heavy per-row work (shingling,
+    per-shingle md5, regex token passes) straight off the scan. A small
+    corpus arrives as ONE scan partition, which would serialize all of it
+    on one core — so when the scan is coarser than the cluster, spread it
+    with an explicit per-core partition count (count-less repartitions are
+    advisory to AQE, which would coalesce a tiny-bytes shuffle right back
+    to one task). A big corpus already scans wide, and then this is a
+    no-op: it must NOT pay a full-text shuffle before e.g. dedup_exact's
+    map-side-combined fingerprint agg."""
+    df = load_table(spark, sf_dir, "documents")
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = TX.repartition_for_cpu(df, "doc_id")
+    return df
+
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (must mirror operators/text.py exactly).
 # ---------------------------------------------------------------------------
@@ -81,7 +99,7 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation/stopword ratios, mean token length, heuristic quality
     score. All JVM higher-order functions on one scan; zero Python UDFs.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         TX.token_count_col("text").cast("long").alias("n_tokens"),
@@ -122,7 +140,7 @@ def _lang_score_sql(lang: str) -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-marker language ID heuristic (distinct-token overlap argmax,
     alphabetical tiebreak)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", "lang", TX.lang_id_col("text").alias("lang_pred")
     ).orderBy("doc_id")
@@ -142,7 +160,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate rollup of derived text features by source — the
     'corpus profile' a training-data pipeline runs before filtering."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select(
             "source", TX.token_count_col("text").alias("_nt"), "n_chars"
@@ -178,7 +196,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorb duplicate mass before the exchange, so a 100 TB corpus with
     heavy duplication shuffles roughly its distinct content only.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select("doc_id", TX.fingerprint_col("text").alias("fingerprint"))
         .groupBy("fingerprint")
@@ -204,7 +222,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-hash MinHash signature per document over distinct word 3-gram
     shingles, md5-as-permutation (hex-min is deterministic and identical
     in DuckDB — the design choice that makes MinHash oracle-checkable)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id", TX.word_shingles_col("text", 3).alias("shingles")
     )
@@ -253,7 +271,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows over 8 hashes), verified with exact Jaccard on the shingle sets.
     The banding keeps this strictly sub-quadratic — candidates only, never
     all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = TX.minhash_lsh_near_dup_pairs(
         docs, id_col="doc_id", text_col="text", k=3, num_hashes=8, bands=4
     )
@@ -267,7 +285,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64 token hashes, one shuffle,
     64 map-side-combined sums). Near-dup = small hamming distance;
     property-tested in tests/test_text.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return TX.simhash(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
 
 
@@ -282,7 +300,7 @@ def text_nfkd_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip → trim → title-case → empty→NULL) as an Arrow pandas_udf
     (reference movie_pipeline/data_utils.py:159-184 runs this driver-side
     via toPandas)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", nfkd_fold_col("text").alias("norm_text")
     ).orderBy("doc_id")
@@ -314,7 +332,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions (split → ascii → aggregate). Unlike md5 this
     is incrementally updatable (the property rolling hashes exist for);
     the DuckDB oracle replays the identical fold with list_reduce."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     codes = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long"))
     fp = F.aggregate(
         codes,
@@ -345,7 +363,7 @@ def text_median_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: grouped-agg UDFs materialize the whole group per call, so
     this is for bounded-cardinality groups (here: sources); unbounded
     groups should use percentile_approx instead."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.groupBy("source")
         .agg(F.round(_median_agg("n_chars"), ROUND_DIGITS).alias("median_chars"))
@@ -386,9 +404,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness baseline, and at scale you'd add prefix filtering
     (sort shingles by global frequency, index only each doc's rarest few)
     to bound the index join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # One-file corpus scans as one partition — spread the shingle work.
-    sh = docs.repartition("doc_id").select(
+    sh = docs.select(
         "doc_id", TX.word_shingles_col("text", 3).alias("s")
     )
     # Carry each doc's set SIZE through the explode so no join back to the
@@ -425,7 +443,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via 16-bit band bucketing + hamming verify —
     exact for hamming ≤ 3 by pigeonhole (see operators/text.py).
     Completeness vs brute force is pytest-gated (tests/test_text.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return TX.simhash_near_dup_pairs(
         docs, id_col="doc_id", text_col="text", max_hamming=3, bands=4
     ).orderBy("doc_a", "doc_b")
@@ -453,7 +471,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds downstream. Window-rank formulation: one shuffle, no join."""
     from ..operators.relational import top_k_per_group
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     keyed = docs.select(
         "doc_id", TX.fingerprint_col("text").alias("_fp")
     )
@@ -477,7 +495,7 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: explode tokens → count → deterministic top-20.
     Partial aggregation absorbs token mass map-side; the final top-k is
     TakeOrderedAndProject (no global sort materialization)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select(F.explode(TX.tokens_col("text")).alias("token"))
         .groupBy("token")
@@ -513,7 +531,7 @@ def quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, keep quality ≥ 0.5, report per-source survival. One scan, one
     shuffle; the filter is a pure projection so at 100 TB the kept subset
     streams straight to the next stage without materializing scores."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     q = TX.quality_score_col("text", _SW)
     return (
         docs.select("source", q.alias("_q"))
@@ -543,7 +561,7 @@ def sample_by_hash_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across runs and clusters (no RNG state), which is what
     makes sampled corpora auditable. Pure filter: pushdown-friendly,
     no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return TX.sample_by_hash(docs, "doc_id", 1, 4).select(
         "doc_id", "source"
     ).orderBy("doc_id")
@@ -555,7 +573,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components by min-label propagation → (node, component). The final
     dedup primitive: keep component == node, drop the rest. Convergence
     and label correctness pytest-gated (tests/test_text.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = TX.minhash_lsh_near_dup_pairs(docs).where(F.col("jaccard") >= 0.5)
     return TX.connected_components_min_label(pairs).orderBy("node")
 
@@ -592,7 +610,7 @@ def text_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     one executor's pandas frame — right for bounded groups (sources);
     unbounded groups should use the pure-window formulation the oracle
     shows."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out_schema = "doc_id long, source string, z_chars double"
     return (
         docs.select("doc_id", "source", "n_chars")
@@ -638,8 +656,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDF (ln((N+1)/(df+1))+1) matches the classic formulation; the
     document-frequency table is vocabulary-sized and broadcast, so the
     corpus shuffles once for TF and once for the per-doc ranking."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.repartition("doc_id").select(
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
         "doc_id", F.explode(TX.tokens_col("text")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(
@@ -688,7 +706,7 @@ def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsample: keep 1/2 of src0, 1/4 of
     src1, all of every other source — the corpus-rebalancing shape, with
     reproducible membership (hash buckets, no RNG)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = TX.sample_by_hash_stratified(
         docs, key_col="doc_id", strata_col="source", rates=_STRATA_RATES
     )
@@ -730,8 +748,8 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     index at 100 TB). Verification computes the full Jaccard, so the
     filter can only prune, never err."""
     t = _PREFIX_THRESHOLD
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.repartition("doc_id").select(
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
         "doc_id", TX.word_shingles_col("text", 3).alias("s")
     )
     inv = sh.select(
@@ -799,7 +817,7 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical content, this handles the near-identical tail."""
     from ..operators.relational import anti_join
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = TX.minhash_lsh_near_dup_pairs(docs).where(F.col("jaccard") >= 0.5)
     comps = TX.connected_components_min_label(pairs)
     losers = comps.where(F.col("node") != F.col("component")).select(
