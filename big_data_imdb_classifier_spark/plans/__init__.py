@@ -13,5 +13,6 @@ def load_all() -> None:
         queries_multimodal,
         queries_relational,
         queries_similarity,
+        queries_stats,
         queries_text,
     )

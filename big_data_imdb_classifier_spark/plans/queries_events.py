@@ -368,3 +368,43 @@ def event_rolling_1h_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "event_ffill_gap_fill",
+    oracle=f"""
+    SELECT event_id, user_id,
+           strftime(ts, '{_FMT_DUCK}') AS ts_str,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS last_purchase_value
+    FROM events ORDER BY event_id
+    """,
+)
+def event_ffill_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (gap fill): carry each user's most recent purchase
+    value forward onto every subsequent event — ``last(..., ignorenulls)``
+    over a running rows frame. The canonical sparse-to-dense repair for
+    irregular time series; one shuffle on user_id, deterministic via the
+    unique event_id ordering tiebreak. NULL before a user's first
+    purchase (no fabricated data)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _FMT).alias("ts_str"),
+            F.round(
+                F.last(purchase_val, ignorenulls=True).over(w), 2
+            ).alias("last_purchase_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -952,3 +952,39 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "sql_exists_not_exists",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY custkey
+    """,
+)
+def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS correlated subqueries through the SQL API:
+    customers with a 300k+ order but zero urgent orders. Catalyst
+    de-correlates both into one left-semi and one left-anti hash join on
+    o_custkey — the same physical shape as the DataFrame-API
+    ``semi_join_big_spenders`` / ``anti_join_no_urgent``, proving the two
+    front ends converge on one plan (no per-row subquery execution)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        ORDER BY custkey
+        """
+    )

@@ -1,0 +1,218 @@
+"""Statistical aggregate surface: exact percentiles, correlation /
+regression aggregates, deterministic mode, arg-min/max, heavy hitters,
+fixed-width histograms.
+
+The reference's analytics live in notebook EDA cells
+(/root/reference/eda/process_data.ipynb) and scaler fit statistics
+(/root/reference/movie_pipeline/classifier_pipeline.py:400-407); this
+module re-expresses that profiling surface as first-class distributed
+aggregates — every one a single partial+final hash aggregate (or one
+window shuffle), nothing driver-side.
+
+Scale notes: all group-bys key on low-cardinality columns (returnflag /
+linestatus) so partial aggregation absorbs nearly all rows map-side;
+``heavy_hitters_suppkey`` folds the global count in as a broadcast
+scalar, not a second pass over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .registry import ROUND_DIGITS, query
+
+_R = ROUND_DIGITS
+
+
+@query(
+    "stats_percentiles_by_flag",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), {_R}) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.50), {_R}) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.75), {_R}) AS p75_price,
+           round(quantile_cont(l_extendedprice, 0.95), {_R}) AS p95_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group (``F.percentile``,
+    not percentile_approx): the distribution-profiling aggregate a corpus
+    audit runs. One shuffle; the per-group sort happens inside the
+    aggregate buffer. For 100 TB profiling where exactness isn't required,
+    ``approx_distinct_parts`` shows the sketch path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = {"p25_price": 0.25, "p50_price": 0.50, "p75_price": 0.75, "p95_price": 0.95}
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(F.percentile("l_extendedprice", F.lit(p)), _R).alias(name)
+                for name, p in pcts.items()
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "stats_corr_regr",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), {_R}) AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity) / 1000, {_R}) AS covar_k,
+           round(regr_slope(l_extendedprice, l_quantity), {_R}) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), {_R}) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), {_R}) AS r2
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + least-squares regression aggregates (y = price,
+    x = quantity) per group — the feature-relationship profile the
+    reference's EDA notebook computes by hand. All five are single-pass
+    streaming aggregates (co-moment accumulators), one shuffle total;
+    covariance is scaled to thousands before rounding so both engines
+    round the same magnitude."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(y, x), _R).alias("corr_price_qty"),
+            F.round(F.covar_samp(y, x) / 1000, _R).alias("covar_k"),
+            F.round(F.regr_slope(y, x), _R).alias("slope"),
+            F.round(F.regr_intercept(y, x), _R).alias("intercept"),
+            F.round(F.regr_r2(y, x), _R).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "stats_argminmax_by_flag",
+    oracle=f"""
+    SELECT l_returnflag,
+           arg_min(l_orderkey, l_extendedprice) AS cheapest_orderkey,
+           arg_max(l_orderkey, l_extendedprice) AS priciest_orderkey,
+           round(min(l_extendedprice), {_R}) AS min_price,
+           round(max(l_extendedprice), {_R}) AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_argminmax_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min / arg-max (``min_by`` / ``max_by``): 'which row holds the
+    extreme' in ONE aggregate pass — replaces the sort-then-first or
+    self-join-on-max patterns that cost an extra shuffle. Extreme prices
+    are unique in this data (verified at every SF), so the arg is
+    deterministic and oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_orderkey"),
+            F.max_by("l_orderkey", "l_extendedprice").alias("priciest_orderkey"),
+            F.round(F.min("l_extendedprice"), _R).alias("min_price"),
+            F.round(F.max("l_extendedprice"), _R).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "exact_mode_quantity",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_quantity, cnt AS mode_count FROM (
+      SELECT l_returnflag, l_quantity, count(*)::BIGINT AS cnt,
+             row_number() OVER (
+               PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity ASC
+             ) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def exact_mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact mode: double aggregation (value-count, then
+    top-1 by count with a smallest-value tiebreak) instead of the engine
+    ``mode()`` whose tie choice is arbitrary — determinism is what makes
+    it both oracle-checkable and reproducible across cluster runs. The
+    first group-by collapses the data to (group × distinct-value) rows, so
+    the window pass is tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "heavy_hitters_suppkey",
+    oracle="""
+    SELECT l_suppkey, count(*)::BIGINT AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > (SELECT count(*) FROM lineitem) / 600.0
+    ORDER BY n_items DESC, l_suppkey
+    """,
+)
+def heavy_hitters_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys exceeding a 1/600 frequency threshold.
+    The global total is a one-row aggregate folded in as a BROADCAST
+    scalar (crossJoin with a 1-row frame) — no second fact-table pass, no
+    driver round-trip, and the per-key counts shuffle only distinct keys.
+    At 100 TB this is the exact companion to a count-min sketch: same
+    output contract, one extra reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(F.count("*").alias("_total"))
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_items") > F.col("_total") / 600.0)
+        .select("l_suppkey", "n_items")
+        .orderBy(F.col("n_items").desc(), "l_suppkey")
+    )
+
+
+@query(
+    "histogram_price_bins",
+    oracle=f"""
+    SELECT (floor(l_extendedprice / 10000) * 10000)::BIGINT AS bin_lo,
+           count(*)::BIGINT AS n_items,
+           round(sum(l_extendedprice), 2) AS bin_total
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10k-wide price bins): binning is a pure
+    projection so the whole histogram is one map-side-combined aggregate —
+    the right 100 TB shape (vs. sort-based bucketing). Bin count is
+    data-bounded, so the reduce side is trivially small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            (F.floor(F.col("l_extendedprice") / 10000) * 10000)
+            .cast("long")
+            .alias("bin_lo")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("bin_total"),
+        )
+        .orderBy("bin_lo")
+    )

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..functions.nfkd import nfkd_fold_col
 from ..operators import text as TX
@@ -824,3 +825,109 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return anti_join(docs.select("doc_id"), losers, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation: chunking + sequence packing
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 50
+_CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+_PACK_BUDGET = 256
+
+
+@query(
+    "doc_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - 1, {_CHUNK_STRIDE})) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           (start // {_CHUNK_STRIDE})::BIGINT AS chunk_id,
+           len(list_slice(t, start + 1, start + {_CHUNK_LEN}))::BIGINT AS n_chunk_tokens,
+           array_to_string(list_slice(t, start + 1, start + {_CHUNK_LEN}), ' ')
+             AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for LLM training: 50-token
+    chunks, stride 40 (10-token overlap so no boundary context is lost).
+    Pure per-row array work — tokenize once, explode the start offsets,
+    slice — so it parallelizes embarrassingly and shuffles nothing until
+    the output sort. The chunk explosion multiplies rows ~(n/stride)×,
+    which is exactly the fan-out a tokenize-and-pack corpus stage does at
+    100 TB; no state crosses document boundaries."""
+    docs = _docs(spark, sf_dir)
+    df = docs.select("doc_id", TX.tokens_col("text").alias("t")).select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start") + 1, F.lit(_CHUNK_LEN))
+    return df.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "pack_sequences_contiguous",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_TOKS})::BIGINT AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             ((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // {_PACK_BUDGET})::BIGINT AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS bin_tokens
+    FROM packed GROUP BY source, bin_id ORDER BY source, bin_id
+    """,
+)
+def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign consecutive documents (per source, in
+    doc_id order) to 256-token training bins by EXCLUSIVE prefix sum —
+    a doc straddling a boundary belongs to the bin its first token lands
+    in. Deterministic (no RNG, no first-fit state), so it's both
+    oracle-checkable and reproducible across cluster runs. One window
+    shuffle on source; at 100 TB with few giant sources you'd sub-shard
+    the partition key (source, shard) first — same plan shape."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", TX.token_count_col("text").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )

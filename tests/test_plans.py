@@ -161,3 +161,28 @@ def test_grouping_sets_is_single_aggregate_pass(spark):
     plan = _plan(spark, "grouping_sets_qty")
     assert "Expand" in plan
     assert "Union" not in plan, plan
+
+
+def test_sql_exists_compiles_to_semi_and_anti(spark):
+    """EXISTS/NOT EXISTS de-correlate to one LeftSemi + one LeftAnti hash
+    join — the same physical shape as the DataFrame-API formulation."""
+    p = _plan(spark, "sql_exists_not_exists")
+    assert re.search(r"LeftSemi", p)
+    assert re.search(r"LeftAnti", p)
+
+
+def test_heavy_hitters_broadcasts_scalar_total(spark):
+    """The global count folds in as a broadcast (1-row) side, so the fact
+    table is scanned once and shuffled only as distinct keys."""
+    p = _plan(spark, "heavy_hitters_suppkey")
+    assert re.search(r"Broadcast", p)
+
+
+def test_mode_top1_uses_window_group_limit(spark):
+    """exact_mode's rn=1 filter is pushed into WindowGroupLimit (partial
+    + final), so each task keeps one candidate row per group instead of
+    materializing the full ranked partition — and the window input is the
+    pre-aggregated (group x distinct-value) frame, scanning 2 columns."""
+    p = _plan(spark, "exact_mode_quantity")
+    assert re.search(r"WindowGroupLimit", p)
+    assert re.search(r"ReadSchema: struct<l_quantity:double,l_returnflag:string>", p)
