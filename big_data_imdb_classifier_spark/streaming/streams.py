@@ -184,3 +184,94 @@ def running_user_totals_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def clicks_before_purchase_join_stream(
+    events: DataFrame,
+    lookback_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    purchase joined to the same user's clicks in the preceding
+    ``lookback_minutes`` — the streaming twin of the batch
+    ``event_range_join_clicks_before_purchase`` query.
+
+    Both sides carry watermarks and the join predicate bounds click_ts
+    relative to purchase_ts, so Spark can expire buffered state once the
+    watermark passes the lookback horizon — state stays O(lookback
+    window), not O(stream). Keyed on user_id: both sides shuffle to the
+    same partitioning, and skewed users are the same salting problem as
+    the batch join."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = F.expr(
+        f"""p_user = c_user
+            AND click_ts >= purchase_ts - INTERVAL {lookback_minutes} MINUTES
+            AND click_ts < purchase_ts"""
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+
+
+def stream_upsert_into_cache(
+    spark: SparkSession,
+    df: DataFrame,
+    cache_path: str,
+    key: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming sink into the keyed parquet cache via ``foreachBatch``:
+    every micro-batch is merged with ``upsert_parquet_cache`` (anti-join
+    on the key, new rows win), composing the S5 cache contract with the
+    streaming engine. foreachBatch gives exactly-once-per-batch batch
+    semantics (checkpointed batch ids; re-run batches overwrite the same
+    merge), which is the standard Spark pattern for upsert sinks that
+    file sinks can't express. The merge itself reuses the S5 cache
+    contract (unionByName + key-dedup) with the enrichment framework's
+    atomic tmp-dir swap, so a crash mid-write never corrupts the cache."""
+    import os
+    import shutil
+
+    from ..sources.sinks import upsert_parquet_cache
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        cached = (
+            spark.read.parquet(cache_path) if os.path.exists(cache_path) else None
+        )
+        merged = upsert_parquet_cache(batch_df, cached, key=key)
+        tmp = cache_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cache_path):
+            shutil.rmtree(cache_path)
+        os.rename(tmp, cache_path)
+
+    q = (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -125,3 +125,67 @@ def test_stream_to_parquet_sink_with_checkpoint(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_batch
     drain()  # same checkpoint, no new input -> no duplicates
     assert spark.read.parquet(out).count() == n_batch
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream range join must produce exactly the
+    batch join's (purchase, click) pairs."""
+    ev_stream = ST.load_events_stream(spark, SF_SMOKE)
+    got = ST.run_to_memory(
+        spark,
+        ST.clicks_before_purchase_join_stream(ev_stream, lookback_minutes=30),
+        "t_ss_join",
+        output_mode="append",
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = purchases.join(
+        clicks,
+        F.expr(
+            """p_user = c_user
+               AND click_ts >= purchase_ts - INTERVAL 30 MINUTES
+               AND click_ts < purchase_ts"""
+        ),
+    ).select("purchase_id", "click_id")
+
+    g = {(r.purchase_id, r.click_id) for r in got.collect()}
+    w = {(r.purchase_id, r.click_id) for r in want.collect()}
+    assert g == w
+    assert len(g) > 0
+
+
+def test_stream_foreachbatch_upsert_cache(spark, tmp_path):
+    """foreachBatch upsert sink: streaming dedup drained into the keyed
+    parquet cache; a second (idempotent) run must not grow the cache."""
+    cache = str(tmp_path / "cache.parquet")
+
+    def run(ckpt: str) -> None:
+        ev = ST.load_events_stream(spark, SF_SMOKE)
+        latest = ST.dedup_stream(ev, keys=["user_id"])
+        ST.stream_upsert_into_cache(
+            spark,
+            latest.select("user_id", "event_type", "value"),
+            cache,
+            key="user_id",
+            checkpoint_dir=ckpt,
+        )
+
+    run(str(tmp_path / "ckpt1"))
+    n_users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    first = spark.read.parquet(cache)
+    assert first.count() == n_users
+    assert first.select("user_id").distinct().count() == n_users
+
+    run(str(tmp_path / "ckpt2"))  # fresh checkpoint => batch re-delivered
+    again = spark.read.parquet(cache)
+    assert again.count() == n_users  # key-dedup keeps the cache stable
