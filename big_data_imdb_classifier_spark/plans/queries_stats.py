@@ -216,3 +216,25 @@ def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_lo")
     )
+
+
+# Rows-only (approximate — values can't hash-match an exact oracle;
+# tests/test_stats.py gates the error bound against the exact result).
+@query("approx_percentile_price")
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (``percentile_approx``, accuracy 10000 → ~0.01% rank error): the
+    100 TB path where the exact per-group sort buffer of
+    ``stats_percentiles_by_flag`` would dominate. Sketches merge
+    associatively, so partial aggregation stays map-side; pytest bounds
+    the relative error against the exact result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("ap50"),
+            F.percentile_approx("l_extendedprice", F.lit(0.95), acc).alias("ap95"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -931,3 +931,74 @@ def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+@query(
+    "udtf_token_rle",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token,
+             unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\s+'))))
+               AS pos
+      FROM documents WHERE doc_id < 500
+    ),
+    marked AS (
+      SELECT doc_id, token, pos,
+             CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS DISTINCT FROM token
+                  THEN 1 ELSE 0 END AS new_run
+      FROM tok
+    ),
+    runs AS (
+      SELECT doc_id, token, pos,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM marked
+    )
+    SELECT doc_id, run_id::INT AS run_id, token, count(*)::BIGINT AS run_len
+    FROM runs GROUP BY doc_id, run_id, token ORDER BY doc_id, run_id
+    """,
+)
+def udtf_token_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) completing the §2.11
+    UDF/UDAF/UDTF triad: run-length-encode each document's token stream —
+    one input row fans out to a variable number of (run_id, token,
+    run_len) rows, the cardinality shape scalar/grouped UDFs can't
+    express. Invoked through SQL LATERAL, so it composes with any query.
+
+    Scale honesty: a UDTF is row-at-a-time Python — the slow path, here
+    bounded to 500 docs as an extension-point demonstration. The oracle
+    shows the JVM-side formulation (gaps-and-islands: lag + running sum
+    over exploded tokens) that a 100 TB RLE pass should use; the UDTF
+    exists for logic that genuinely can't be declared (per-row parsers,
+    generators with carried state)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_id int, token string, run_len long")
+    class TokenRLE:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            toks = re.split(r"\s+", text.strip())
+            run_id, prev, n = 0, None, 0
+            for t in toks + [None]:
+                if t == prev:
+                    n += 1
+                    continue
+                if prev is not None or n > 0:
+                    yield run_id, prev, n
+                run_id, prev, n = run_id + 1, t, 1
+
+    spark.udtf.register("token_rle", TokenRLE)
+    _docs(spark, sf_dir).where(F.col("doc_id") < 500).createOrReplaceTempView(
+        "v_docs_rle"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.run_id, r.token, r.run_len
+        FROM v_docs_rle d, LATERAL token_rle(d.text) r
+        ORDER BY d.doc_id, r.run_id
+        """
+    )
