@@ -51,6 +51,10 @@ HEADLINE = [
     "mm_decode_metadata",                # Arrow multimodal decode
     "enrich_mock_llm_topics",            # mapInPandas enrichment
     "quality_filter_stats",              # corpus quality filtering
+    "stats_percentiles_by_flag",         # exact per-group percentiles
+    "doc_chunk_sliding",                 # token-window chunk fan-out
+    "pack_sequences_contiguous",         # prefix-sum sequence packing
+    "event_ffill_gap_fill",              # forward-fill running window
 ]
 
 
