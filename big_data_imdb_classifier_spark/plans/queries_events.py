@@ -408,3 +408,45 @@ def event_ffill_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "user_event_type_profile",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           count(*)::INT AS n_types,
+           coalesce(string_agg(event_type || '=' || cnt, ',' ORDER BY event_type)
+                      FILTER (cnt >= 3), '') AS frequent_profile
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-user event-type counts folded into a
+    MapType column (map_from_entries over sorted entries), filtered with
+    the map_filter higher-order lambda (keep types seen >= 3 times), and
+    rendered back through map_entries + transform. The map is built from
+    a pre-aggregated (user x type) frame, so the shuffle moves counts,
+    not events; all lambdas execute JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    frequent = F.map_filter("m", lambda k, v: v >= 3)
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.array_join(
+            F.transform(
+                F.map_entries(frequent),
+                lambda e: F.concat(e.key, F.lit("="), e.value.cast("string")),
+            ),
+            ",",
+        ).alias("frequent_profile"),
+    ).orderBy("user_id")

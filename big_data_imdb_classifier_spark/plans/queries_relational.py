@@ -988,3 +988,82 @@ def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY custkey
         """
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH fact AS (
+      SELECT nullif(o_orderpriority, '1-URGENT') AS prio_key, o_totalprice
+      FROM orders
+    ),
+    dim AS (SELECT DISTINCT prio_key FROM fact)
+    SELECT d.prio_key, count(*)::BIGINT AS n_orders,
+           round(sum(f.o_totalprice), 2) AS total
+    FROM fact f JOIN dim d ON f.prio_key IS NOT DISTINCT FROM d.prio_key
+    GROUP BY d.prio_key ORDER BY d.prio_key NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``eqNullSafe`` / SQL ``<=>``): NULL keys match
+    NULL keys instead of silently dropping — the semantics a dimension
+    with an 'unknown' member needs. Catalyst still plans it as a hash
+    join (null-safe equality is hashable), so there's no nested-loop
+    penalty; the NULL bucket is a single hot key, which at scale is the
+    same salting story as any other skewed key."""
+    fact = _t(spark, sf_dir, "orders").select(
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("prio_key"),
+        "o_totalprice",
+    )
+    dim = fact.select("prio_key").distinct().withColumnRenamed("prio_key", "d_key")
+    return (
+        fact.join(dim, fact["prio_key"].eqNullSafe(dim["d_key"]))
+        .groupBy("d_key")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(F.col("d_key").alias("prio_key"), "n_orders", "total")
+        .orderBy(F.col("prio_key").asc_nulls_first())
+    )
+
+
+@query(
+    "window_value_funcs",
+    oracle=f"""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           round(first_value(c_acctbal) OVER w, {R}) AS top_bal,
+           round(nth_value(c_acctbal, 3) OVER w, {R}) AS third_bal,
+           round(last_value(c_acctbal) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), {R}) AS bottom_bal
+    FROM customer WHERE c_custkey <= 200
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY segment, custkey
+    """,
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first_value / nth_value / last_value) over
+    an unbounded frame: every row annotated with its segment's top,
+    third, and bottom balance. One shared (partition, order) spec → one
+    Window exchange; deterministic via the unique custkey tiebreak."""
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.first("c_acctbal").over(w), R).alias("top_bal"),
+            F.round(F.nth_value("c_acctbal", 3).over(w), R).alias("third_bal"),
+            F.round(F.last("c_acctbal").over(w), R).alias("bottom_bal"),
+        )
+        .orderBy("segment", "custkey")
+    )

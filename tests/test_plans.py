@@ -186,3 +186,64 @@ def test_mode_top1_uses_window_group_limit(spark):
     p = _plan(spark, "exact_mode_quantity")
     assert re.search(r"WindowGroupLimit", p)
     assert re.search(r"ReadSchema: struct<l_quantity:double,l_returnflag:string>", p)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Scale strategy: a hot join key whose shuffle partition exceeds the
+    skew threshold is split by AQE's OptimizeSkewedJoin (SortMergeJoin
+    gains skew=true) — the runtime half of the engine's skew story, next
+    to the explicit salted rewrite in operators/relational.py. Thresholds
+    are scaled down to fire on test-sized data; the detection logic is
+    identical at production sizes."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    from pyspark.sql import functions as F
+
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        # 90% of fact rows share key 0; an incompressible pad keeps the
+        # hot partition's *measured* (post-compression) bytes skewed.
+        pad = F.concat(
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i))))
+                for i in range(2)
+            ]
+        )
+        fact = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # collect() executes THIS QueryExecution with pad flowing through
+        # the shuffle (count() would both re-plan and prune the pad away)
+        joined = fact.join(dim, "k").select("k", "pad", "v")
+        joined.collect()
+        s = _explain_simple(spark, joined)
+        assert "isFinalPlan=true" in s
+        assert "skew=true" in s
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _explain_simple(spark, df) -> str:
+    jvm = spark.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
