@@ -1067,3 +1067,74 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "custkey")
     )
+
+
+@query(
+    "scalar_func_zoo",
+    oracle="""
+    SELECT o_orderkey,
+           round(greatest(o_totalprice, 150000.0), 2) AS big,
+           round(least(o_totalprice, 150000.0), 2) AS small,
+           sign(o_totalprice - 150000.0)::INT AS over_under,
+           (o_orderkey % 7)::BIGINT AS pm7,
+           (o_orderkey & 255)::BIGINT AS low_byte,
+           xor(o_orderkey, o_custkey)::BIGINT AS key_xor,
+           (o_orderkey << 2)::BIGINT AS shl2,
+           upper(to_hex(o_orderkey)) AS key_hex,
+           round(sqrt(o_totalprice), 4) AS root_price,
+           round(ln(o_totalprice), 4) AS ln_price
+    FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey
+    """,
+)
+def scalar_func_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth (F5 completion): comparison folds
+    (greatest/least/sign), modular + bitwise arithmetic (pmod, AND, XOR,
+    shifts), radix conversion (hex), and math (sqrt/ln) — all codegen'd
+    JVM expressions inside one projection, no UDFs, filter pushed to the
+    scan."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        F.round(F.greatest("o_totalprice", F.lit(150000.0)), 2).alias("big"),
+        F.round(F.least("o_totalprice", F.lit(150000.0)), 2).alias("small"),
+        F.signum(F.col("o_totalprice") - 150000.0).cast("int").alias("over_under"),
+        F.pmod("o_orderkey", F.lit(7)).cast("long").alias("pm7"),
+        F.expr("o_orderkey & 255").cast("long").alias("low_byte"),
+        F.expr("o_orderkey ^ o_custkey").cast("long").alias("key_xor"),
+        F.shiftleft("o_orderkey", 2).cast("long").alias("shl2"),
+        F.hex("o_orderkey").alias("key_hex"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("root_price"),
+        F.round(F.log("o_totalprice"), 4).alias("ln_price"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "cross_join_region_priority",
+    oracle="""
+    SELECT r.r_name, p.prio, r.r_name || '/' || p.prio AS cell
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio
+                              FROM orders) p
+    ORDER BY r.r_name, p.prio
+    """,
+)
+def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (``crossJoin``) of two bounded sets —
+    the dimension-grid builder (every region × every priority) that
+    reporting fills against. Safe ONLY because both sides are
+    dimension-sized; the API makes the cardinality explosion explicit
+    instead of Spark rejecting an accidental one."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    p = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+    )
+    return (
+        r.crossJoin(p)
+        .select(
+            "r_name",
+            "prio",
+            F.concat("r_name", F.lit("/"), "prio").alias("cell"),
+        )
+        .orderBy("r_name", "prio")
+    )
