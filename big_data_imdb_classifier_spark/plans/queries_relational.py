@@ -1138,3 +1138,82 @@ def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "prio")
     )
+
+
+@query(
+    "unpivot_order_metrics",
+    oracle="""
+    SELECT o_orderkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'orderyear', extract(year FROM o_orderdate)::DOUBLE
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', o_custkey::DOUBLE FROM orders
+    )
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey, metric
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of ``pivot_status_qty``: wide metric
+    columns rotated into (key, metric, value) long form, the shape
+    feature stores and metric pipelines ingest. Spark's native
+    ``unpivot`` is a zero-shuffle Expand (each input row emits k output
+    rows map-side), not a UNION of per-column scans — one pass over the
+    table instead of three."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.year("o_orderdate").cast("double").alias("orderyear"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot(
+            ids=["o_orderkey"],
+            values=["custkey", "orderyear", "totalprice"],
+            variableColumnName="metric",
+            valueColumnName="_v",
+        )
+        .select("o_orderkey", "metric", F.round("_v", 2).alias("val"))
+        .orderBy("o_orderkey", "metric")
+    )
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           count(o_custkey)::BIGINT AS custkey_nonnull,
+           count(DISTINCT o_orderkey)::BIGINT AS orderkey_distinct,
+           count(DISTINCT o_orderpriority)::BIGINT AS priority_card,
+           round(min(o_totalprice), 2) AS price_min,
+           round(max(o_totalprice), 2) AS price_max,
+           count(*) FILTER (o_totalprice <= 0)::BIGINT AS price_nonpositive,
+           count(*) FILTER (length(trim(o_orderpriority)) = 0)::BIGINT
+             AS priority_blank
+    FROM orders
+    """,
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: the constraint sweep (null rates, key
+    uniqueness, category cardinality, bounds, blank strings) a pipeline
+    runs before accepting a batch — ALL checks in ONE aggregation pass
+    over one scan, so adding a check costs a column, not a job. Pairs
+    with the anti-join referential check (`anti_join_no_urgent` shape)
+    for cross-table constraints."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_orderkey").alias("orderkey_distinct"),
+        F.countDistinct("o_orderpriority").alias("priority_card"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price_nonpositive"),
+        F.count(F.when(F.length(F.trim("o_orderpriority")) == 0, 1)).alias(
+            "priority_blank"
+        ),
+    )

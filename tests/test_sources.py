@@ -95,3 +95,29 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) >= {"id", "v", "score"}
     rows = {r.id: r.score for r in merged.select("id", "score").collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """32 tiny files compact to the target count without a shuffle
+    (coalesce path) and with byte-identical content."""
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+    from big_data_imdb_classifier_spark.sources.sinks import compact_parquet
+
+    from .conftest import SF_SMOKE
+
+    src = str(tmp_path / "shattered")
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    li.repartition(32).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 32
+    before = li.count()
+
+    total_bytes = sum(
+        f.stat().st_size for f in (tmp_path / "shattered").glob("*.parquet")
+    )
+    n = compact_parquet(spark, src, target_file_bytes=total_bytes // 2 + 1)
+    assert n <= 2
+    after = spark.read.parquet(src)
+    assert after.count() == before
+    assert len(after.inputFiles()) == n
