@@ -189,3 +189,74 @@ def test_stream_foreachbatch_upsert_cache(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))  # fresh checkpoint => batch re-delivered
     again = spark.read.parquet(cache)
     assert again.count() == n_users  # key-dedup keeps the cache stable
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Watermark semantics across micro-batches: after batch 1 advances
+    the watermark past a window's end (append-mode emission), a late
+    event for that window arriving in batch 2 must be DROPPED — the
+    finalized window row is never updated or duplicated. Checkpointed
+    watermark state survives the availableNow restart."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    src = tmp_path / "in"
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame([Row(ts=t, v=v) for t, v in rows], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(str(src) + "/*")
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+            .select(F.col("w.start").alias("window_start"), "n", "total")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two events in hour 0, one at hour 3 (advances watermark to 2h,
+    # so the hour-0 window finalizes and emits)
+    write_batch("b1", [(base + dt.timedelta(minutes=10), 1),
+                       (base + dt.timedelta(minutes=20), 2),
+                       (base + dt.timedelta(hours=3), 10)])
+    run_once()
+
+    # batch 2: a LATE event for hour 0 (beyond watermark -> dropped) and a
+    # fresh event at hour 5 (advances watermark, finalizing hour 3)
+    write_batch("b2", [(base + dt.timedelta(minutes=30), 100),
+                       (base + dt.timedelta(hours=5), 20)])
+    run_once()
+
+    out = {
+        r.window_start: (r.n, r.total)
+        for r in spark.read.parquet(sink).collect()
+    }
+    hour0 = base
+    # hour-0 window emitted exactly once, WITHOUT the late v=100 event
+    assert out[hour0] == (2, 3), out
+    # hour-3 window finalized by batch 2's watermark advance
+    assert out[base + dt.timedelta(hours=3)] == (1, 10), out
