@@ -247,3 +247,44 @@ def test_aqe_splits_skewed_join_partition(spark):
 def _explain_simple(spark, df) -> str:
     jvm = spark.sparkContext._jvm
     return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """Join-strategy hints give per-query physical control when the
+    optimizer's size estimates are wrong (the 100 TB escape hatch for a
+    mis-broadcast): broadcast / merge / shuffle_hash each compile to
+    their join operator."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, op in cases.items():
+        j = li.join(od.hint(hint), li.l_orderkey == od.o_orderkey)
+        assert op in _explain(spark, j), hint
+
+
+def test_persist_materializes_inmemory_relation(spark):
+    """persist() swaps the scan for InMemoryTableScan on reuse — the
+    explicit materialization point for a frame feeding several downstream
+    plans (vs AQE's per-query exchange reuse)."""
+    df = load_table(spark, SF_SMOKE, "orders").groupBy("o_orderpriority").count()
+    df.persist()
+    try:
+        df.count()  # materialize
+        plan = _explain(spark, df.filter("count > 0"))
+        assert "InMemoryTableScan" in plan
+    finally:
+        df.unpersist()
+
+
+def test_banded_range_join_avoids_nested_loop(spark):
+    """The banded rewrite's reason to exist: a time-range join planned as
+    a bucketed equi-join (hash-partitionable, scalable) instead of the
+    BroadcastNestedLoopJoin a raw non-equi condition degenerates to."""
+    p = _plan(spark, "event_range_join_clicks_before_purchase")
+    assert "NestedLoop" not in p, p
+    assert "CartesianProduct" not in p, p

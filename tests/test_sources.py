@@ -121,3 +121,30 @@ def test_compact_parquet_small_files(spark, tmp_path):
     after = spark.read.parquet(src)
     assert after.count() == before
     assert len(after.inputFiles()) == n
+
+
+def test_observe_collects_metrics_without_extra_pass(spark):
+    """The Observation API rides data-quality metrics on an existing
+    action — no second scan: row count, null count, and sum collected
+    during the same job that materializes the result."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    from .conftest import SF_SMOKE
+
+    obs = Observation("dq")
+    o = load_table(spark, SF_SMOKE, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    out = o.groupBy("o_orderpriority").count()
+    out.collect()  # ONE job; metrics observed en route
+    m = obs.get
+    want_rows = load_table(spark, SF_SMOKE, "orders").count()
+    assert m["n_rows"] == want_rows
+    assert m["null_custkey"] == 0
+    assert m["sum_price"] > 0
