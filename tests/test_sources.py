@@ -148,3 +148,48 @@ def test_observe_collects_metrics_without_extra_pass(spark):
     assert m["n_rows"] == want_rows
     assert m["null_custkey"] == 0
     assert m["sum_price"] > 0
+
+
+def test_clustered_write_yields_skippable_row_groups(spark, tmp_path):
+    """write_clustered must produce near-disjoint per-file min/max ranges
+    on the cluster column (checked via parquet footer stats), which is
+    what lets a pushed-down point/range predicate skip most row groups."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+    from big_data_imdb_classifier_spark.sources.sinks import write_clustered
+
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(li, path, "l_extendedprice", files=8)
+
+    ranges = []
+    for f in sorted(_glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "l_extendedprice"
+        )
+        lo = min(
+            md.row_group(g).column(col_idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(col_idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+
+    assert len(ranges) >= 4
+    ranges.sort()
+    # consecutive file ranges must not overlap (range partitioner boundaries)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
+
+    # and the data survives intact
+    assert spark.read.parquet(path).count() == li.count()
