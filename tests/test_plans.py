@@ -288,3 +288,73 @@ def test_banded_range_join_avoids_nested_loop(spark):
     p = _plan(spark, "event_range_join_clicks_before_purchase")
     assert "NestedLoop" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_dynamic_partition_pruning_injects_subquery_filter(spark, tmp_path):
+    """Joining a day-partitioned fact against a selectively-filtered dim
+    must inject a dynamicpruning expression into the fact scan's
+    PartitionFilters — at 100 TB this is the difference between scanning
+    one day's partitions and scanning the whole table before the join
+    throws the rows away."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    (
+        fact.select("day")
+        .distinct()
+        .withColumn("tag", F.when(F.rand(42) < 0.2, "keep").otherwise("drop"))
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
+
+    joined = fact.join(dim, "day")
+    plan = _explain(spark, joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruned result is still correct
+    keep_days = {r.day for r in dim.select("day").collect()}
+    want = fact.where(F.col("day").isin(list(keep_days))).count()
+    assert joined.count() == want
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """With runtime filtering on, a selective dim predicate must inject a
+    bloom_filter_agg / might_contain pre-filter on the fact side of a
+    shuffle join, so most fact rows die before the exchange instead of
+    being shuffled and then dropped. Thresholds are forced down because
+    test data is tiny; at real scale the defaults (10 GB probe side)
+    gate it to where it pays."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        od = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(od, li.l_orderkey == od.o_orderkey)
+        plan = _explain(spark, joined)
+        assert "might_contain" in plan.lower(), plan
+        # bloom filter is a pre-filter, never drops matching rows
+        n_filtered = joined.count()
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        n_plain = li.join(od, li.l_orderkey == od.o_orderkey).count()
+        assert n_filtered == n_plain
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
