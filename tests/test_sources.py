@@ -193,3 +193,49 @@ def test_clustered_write_yields_skippable_row_groups(spark, tmp_path):
 
     # and the data survives intact
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_zordered_write_skips_on_both_columns(spark, tmp_path):
+    """write_zordered must tighten per-file min/max ranges on BOTH
+    clustered columns (multi-dimension skipping), where single-column
+    clustering leaves the second column's per-file range ~global."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+    from big_data_imdb_classifier_spark.sources.sinks import (
+        write_clustered,
+        write_zordered,
+    )
+
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+
+    def avg_range_frac(path, col):
+        rs = []
+        for f in sorted(_glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            st = [
+                md.row_group(g).column(idx).statistics
+                for g in range(md.num_row_groups)
+            ]
+            rs.append((min(s.min for s in st), max(s.max for s in st)))
+        glo = max(h for _, h in rs) - min(l for l, _ in rs)
+        return sum(h - l for l, h in rs) / len(rs) / glo
+
+    zp = str(tmp_path / "z")
+    write_zordered(li, zp, ["l_partkey", "l_extendedprice"], files=16)
+    # both dimensions skippable
+    assert avg_range_frac(zp, "l_partkey") < 0.6
+    assert avg_range_frac(zp, "l_extendedprice") < 0.6
+    assert spark.read.parquet(zp).count() == li.count()
+
+    # contrast: clustering on price alone leaves partkey unskippable
+    cp = str(tmp_path / "c")
+    write_clustered(li, cp, "l_extendedprice", files=16)
+    assert avg_range_frac(cp, "l_partkey") > 0.8
