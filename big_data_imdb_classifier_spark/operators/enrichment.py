@@ -21,14 +21,16 @@ the executor.
 
 At 100 TB: the anti-join prunes all previously-enriched keys before any
 external call; inference cost scales with *new* keys only, and the cache
-write is an append-shaped union, not a rewrite of history.
+write is append-only — each call commits just its fresh rows as new
+parquet files into the cache directory (O(|fresh|) IO), never rewriting
+history; duplicate keys are resolved by dedup-on-read. Filesystem
+operations go through the Hadoop FileSystem API, so the same code path
+works on HDFS/S3 object stores, not just a local disk.
 """
 
 from __future__ import annotations
 
 import hashlib
-import os
-import shutil
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -81,6 +83,15 @@ def mock_llm_batch(pdf: pd.DataFrame) -> pd.Series:
     )
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe via the Hadoop FileSystem API (works on HDFS/S3,
+    unlike ``os.path`` — same pattern as sinks.compact_parquet)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf).exists(jpath)
+
+
 def enrich_with_cache(
     spark: SparkSession,
     df: DataFrame,
@@ -92,11 +103,14 @@ def enrich_with_cache(
 ) -> DataFrame:
     """Cache-first enrichment; returns df's keys + the enriched value.
 
-    The cache at ``cache_path`` is a parquet of (key, value). Keys
-    already present are NEVER re-inferred (the reference's cache
-    contract, data_utils.py:373-416); new (key, value) pairs are
-    appended. Missing/None cache_path disables persistence (pure
-    compute).
+    The cache at ``cache_path`` is an append-only parquet directory of
+    (key, value). Keys already present are NEVER re-inferred (the
+    reference's cache contract, data_utils.py:373-416); each call appends
+    ONLY its fresh rows as new files — O(|fresh|) write IO per batch, no
+    rewrite of accumulated history. The anti-join guarantees fresh keys
+    are disjoint from cached ones; ``dropDuplicates(key)`` on read is the
+    belt-and-braces against a retried/duplicated append. Missing/None
+    cache_path disables persistence (pure compute).
     """
     out_schema = T.StructType(
         [
@@ -106,7 +120,7 @@ def enrich_with_cache(
     )
 
     cached = None
-    if cache_path and os.path.exists(cache_path):
+    if cache_path and _hadoop_path_exists(spark, cache_path):
         cached = spark.read.parquet(cache_path)
 
     need = df.select(key_col, text_col)
@@ -123,19 +137,16 @@ def enrich_with_cache(
 
     fresh = need.mapInPandas(run_batches, schema=out_schema)
 
-    if cached is not None:
-        merged = cached.unionByName(fresh)
+    if cache_path:
+        # Append ONLY the fresh rows: new parquet files land next to the
+        # existing ones (append to a read path is legal; overwrite would
+        # not be). The parquet commit protocol keeps task outputs
+        # invisible until job commit, so readers never see partial files.
+        fresh.write.mode("append").parquet(cache_path)
+        merged = spark.read.parquet(cache_path).dropDuplicates([key_col])
+    elif cached is not None:
+        merged = cached.unionByName(fresh).dropDuplicates([key_col])
     else:
         merged = fresh
-
-    if cache_path:
-        # Materialize to a sibling tmp dir first (the plan may still scan
-        # the old cache), then atomically swap.
-        tmp = cache_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(cache_path):
-            shutil.rmtree(cache_path)
-        os.rename(tmp, cache_path)
-        merged = spark.read.parquet(cache_path)
 
     return df.select(key_col).join(merged, key_col, "left")

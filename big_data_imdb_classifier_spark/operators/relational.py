@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.temporal import epoch_seconds
+
 
 def top_k_per_group(
     df: DataFrame,
@@ -227,10 +229,10 @@ def range_join_count(
     n_buckets = lookback_sec // bucket_sec + 1
 
     r = right.select(
-        *keys, F.col(right_ts).cast("long").alias("_rts")
+        *keys, epoch_seconds(right_ts).alias("_rts")
     ).withColumn("_bkt", (F.col("_rts") / bucket_sec).cast("long"))
 
-    l = left.withColumn("_lts", F.col(left_ts).cast("long")).withColumn(
+    l = left.withColumn("_lts", epoch_seconds(left_ts)).withColumn(
         "_bkt0", (F.col("_lts") / bucket_sec).cast("long")
     )
     probes = F.array(*[F.col("_bkt0") - i for i in range(n_buckets + 1)])

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.temporal import epoch_seconds
 from ..sources.readers import load_table
 from .registry import ROUND_DIGITS, query
 
@@ -195,7 +196,7 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w_order)
     new_session = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        | (epoch_seconds("ts") - epoch_seconds(prev) > 30 * 60),
         1,
     ).otherwise(0)
     sessions = ev.select(
@@ -356,7 +357,7 @@ def event_rolling_1h_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_seconds("ts"))
         .rangeBetween(-3600, 0)
     )
     return (

@@ -786,12 +786,26 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .repartition(n_part, "doc_a")
     )
-    # Verify WITHOUT shuffling shingle arrays per candidate pair: the
-    # per-doc shingle table is corpus-vocabulary-sized, so broadcast it
-    # to the candidates (at scale: broadcast only candidate docs' sets —
-    # few by design when the prefix filter prunes well).
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb"))
+    # Verify WITHOUT shuffling shingle arrays per candidate pair — but
+    # also without broadcasting the corpus-sized shingle table: left_semi
+    # the shingles down to docs that actually appear in a candidate pair
+    # first (few by design when the prefix filter prunes well), THEN
+    # broadcast only that reduced set. Broadcast size is O(|candidate
+    # docs|), not O(|corpus|), so the verify stage survives a 100× corpus.
+    cand_ids = cand.localCheckpoint(eager=False)
+    ids_a = cand_ids.select(F.col("doc_a").alias("doc_id")).distinct()
+    ids_b = cand_ids.select(F.col("doc_b").alias("doc_id")).distinct()
+    # broadcast the tiny id list into the semi-join so the corpus-sized
+    # shingle table is filtered in place, never shuffled
+    sa = (
+        sh.join(F.broadcast(ids_a), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa"))
+    )
+    sb = (
+        sh.join(F.broadcast(ids_b), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb"))
+    )
+    cand = cand_ids
     jac = (
         cand.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")

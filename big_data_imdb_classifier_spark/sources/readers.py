@@ -20,34 +20,58 @@ from .schemas import TESTDATA_SCHEMAS
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table (columnar scan, pushdown-capable).
 
-    Normalizes parquet TIMESTAMP(NANOS) columns — which Spark can only
-    scan as nano-epoch longs (``spark.sql.legacy.parquet.nanosAsLong``) —
-    back to proper TimestampType via integer division to microseconds,
-    exactly what DuckDB's nanos→micros truncation does, so oracle
-    comparisons agree. The conversion is a codegen'd projection on top of
-    the scan; pushdown/pruning on other columns is unaffected.
+    Normalizes timestamp columns to plain ``TimestampType`` (LTZ)
+    regardless of how the parquet file encodes them — the testdata's
+    physical encoding has changed between driver rounds, so all three
+    shapes are handled:
+
+    - ``TIMESTAMP(NANOS)``: Spark can only scan nanos as nano-epoch longs
+      (``spark.sql.legacy.parquet.nanosAsLong``); convert via integer
+      division to microseconds — exactly DuckDB's nanos→micros truncation,
+      so oracle comparisons agree.
+    - ``TIMESTAMP(MICROS, isAdjustedToUTC=false)``: scanned as
+      ``TIMESTAMP_NTZ``, which Spark refuses to cast to numeric types.
+      Cast to LTZ. The session timezone is pinned to UTC first so the
+      wall-clock field values are reinterpreted as UTC instants — the same
+      thing DuckDB does when it runs ``epoch(ts)`` on a naive timestamp —
+      independent of the host JVM's default zone.
+    - ``TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=true)``: already LTZ,
+      untouched.
+
+    Each conversion is a codegen'd projection on top of the scan;
+    pushdown/pruning on other columns is unaffected.
     """
-    # The nanos conf is a *runtime* SQL conf; set it on whatever session we
-    # are handed (the driver contract passes in a vanilla session that did
-    # not go through our factory — round-1 CORRECTNESS failure mode).
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # conf locked down (e.g. Spark Connect policy) — read may still work
+    # These are *runtime* SQL confs; set them on whatever session we are
+    # handed (the driver contract passes in a vanilla session that did not
+    # go through our factory — round-1 CORRECTNESS failure mode).
+    for conf_key, conf_val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # NTZ→LTZ reinterpretation below must not depend on the host JVM's
+        # default timezone (driver sessions inherit it).
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(conf_key, conf_val)
+        except Exception:
+            pass  # conf locked down (e.g. Spark Connect policy) — read may still work
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     declared = TESTDATA_SCHEMAS.get(name)
     if declared is not None:
         actual = dict(df.dtypes)
         for field in declared.fields:
-            if (
-                isinstance(field.dataType, T.TimestampType)
-                and actual.get(field.name) == "bigint"
-            ):
+            if not isinstance(field.dataType, T.TimestampType):
+                continue
+            scanned = actual.get(field.name)
+            if scanned == "bigint":
                 # integer `div`: float division would lose precision at
                 # nano-epoch magnitudes (~1.7e18 > 2^53).
                 df = df.withColumn(
                     field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
                 )
+            elif scanned == "timestamp_ntz":
+                # Session TZ is pinned UTC above, so this cast maps the
+                # naive wall-clock to the identical UTC instant.
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

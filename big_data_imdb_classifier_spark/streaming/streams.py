@@ -18,36 +18,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Streaming readers require an explicit schema. events.parquet stores
-# TIMESTAMP(NANOS), which Spark only scans as nano-epoch longs (see
-# sources/readers.py:load_table) — declare long, convert after the scan.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one-file 'backlog';
-    in production this is a directory the pipeline appends to)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    in production this is a directory the pipeline appends to).
+
+    Streaming readers require an explicit schema, and the testdata's
+    physical timestamp encoding has changed across driver rounds
+    (nanos → micros-NTZ), so the schema is NOT hard-coded: a metadata-only
+    batch scan of the same file (parquet footer read, no data IO) reveals
+    how this Spark session surfaces ``ts``, and the stream declares that
+    exact type, then normalizes to TimestampType the same way batch
+    ``load_table`` does — nanos-as-long via integer-div to micros,
+    NTZ via cast in the UTC-pinned session, LTZ untouched. Stream and
+    batch therefore read identical instants by construction.
+    """
+    for conf_key, conf_val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(conf_key, conf_val)
+        except Exception:
+            pass
+    import os
+
+    scanned = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The file stream source requires a *directory*; select just the
     # events file out of the shared testdata dir with a glob filter.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(scanned)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = scanned["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # nanos-as-long: integer div (float would lose precision >2^53).
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # Session TZ pinned UTC above → naive wall-clock becomes the
+        # identical UTC instant (same as batch load_table).
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts_stream(
@@ -243,29 +254,23 @@ def stream_upsert_into_cache(
     timeout_sec: int = 120,
 ) -> None:
     """Streaming sink into the keyed parquet cache via ``foreachBatch``:
-    every micro-batch is merged with ``upsert_parquet_cache`` (anti-join
-    on the key, new rows win), composing the S5 cache contract with the
-    streaming engine. foreachBatch gives exactly-once-per-batch batch
-    semantics (checkpointed batch ids; re-run batches overwrite the same
-    merge), which is the standard Spark pattern for upsert sinks that
-    file sinks can't express. The merge itself reuses the S5 cache
-    contract (unionByName + key-dedup) with the enrichment framework's
-    atomic tmp-dir swap, so a crash mid-write never corrupts the cache."""
-    import os
-    import shutil
-
-    from ..sources.sinks import upsert_parquet_cache
+    every micro-batch anti-joins against the cache on the key and APPENDS
+    only its genuinely-new rows — the S5 cache contract composed with the
+    streaming engine, O(|new rows|) write IO per micro-batch instead of a
+    rewrite of accumulated history. foreachBatch gives
+    exactly-once-per-batch semantics (checkpointed batch ids); a retried
+    batch can at worst re-append the same keys, which the enrichment
+    framework's dedup-on-read absorbs. Existence probing goes through the
+    Hadoop FileSystem API so the sink works on HDFS/S3 object stores,
+    not just a local disk."""
+    from ..operators.enrichment import _hadoop_path_exists
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        cached = (
-            spark.read.parquet(cache_path) if os.path.exists(cache_path) else None
-        )
-        merged = upsert_parquet_cache(batch_df, cached, key=key)
-        tmp = cache_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(cache_path):
-            shutil.rmtree(cache_path)
-        os.rename(tmp, cache_path)
+        fresh = batch_df.dropDuplicates([key])
+        if _hadoop_path_exists(spark, cache_path):
+            cached_keys = spark.read.parquet(cache_path).select(key)
+            fresh = fresh.join(cached_keys, key, "left_anti")
+        fresh.write.mode("append").parquet(cache_path)
 
     q = (
         df.writeStream.foreachBatch(_merge)

@@ -92,3 +92,32 @@ def test_poison_without_cache_raises(spark):
             spark, _docs(spark), "doc_id", "text", "topic", None,
             batch_fn=_poison,
         ).collect()
+
+
+def test_cache_append_only_never_rewrites_history(spark, tmp_path):
+    """VERDICT r02 #3: a second enrich call must APPEND its fresh rows as
+    new files — the first call's files stay byte-identical on disk
+    (O(|fresh|) write IO, not O(|cache|) rewrite)."""
+    import glob
+    import os
+
+    cache = str(tmp_path / "cache.parquet")
+    docs = _docs(spark)
+    EN.enrich_with_cache(
+        spark, docs.where("doc_id < 25"), "doc_id", "text", "topic", cache
+    ).collect()
+    first_files = {
+        f: os.path.getmtime(f) for f in glob.glob(cache + "/*.parquet")
+    }
+    assert first_files
+
+    EN.enrich_with_cache(spark, docs, "doc_id", "text", "topic", cache).collect()
+    after = set(glob.glob(cache + "/*.parquet"))
+    # every original file survives, untouched
+    assert set(first_files) <= after
+    for f, mtime in first_files.items():
+        assert os.path.getmtime(f) == mtime, "history was rewritten"
+    # and the cache now covers all 50 keys exactly once
+    cached = spark.read.parquet(cache)
+    assert cached.count() == 50
+    assert cached.select("doc_id").distinct().count() == 50

@@ -358,3 +358,14 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_prefix_jaccard_verify_broadcasts_only_candidate_docs(spark):
+    """VERDICT r02 #4: the verify stage must not broadcast the corpus-
+    sized shingle table. Each broadcast feeding the final jaccard join
+    has to sit above a LeftSemi reduction to candidate doc_ids, so its
+    size is O(|candidate docs|), not O(|corpus|)."""
+    plan = _plan(spark, "dedup_ngram_jaccard_prefix")
+    # both sides of the verify join (doc_a and doc_b shingles) are
+    # reduced to candidate ids before any broadcast
+    assert len(re.findall(r"LeftSemi", plan)) >= 2, plan

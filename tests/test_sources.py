@@ -41,11 +41,13 @@ def test_timestamp_columns_are_timestamps(spark, name):
         "orders": ["o_orderdate"],
     }[name]
     for c in ts_cols:
-        # tz-aware vs ntz depends on the parquet writer; both are fine
-        # under the UTC session profile.
-        assert isinstance(
-            df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType)
-        ), (c, df.schema[c].dataType)
+        # load_table must normalize every physical encoding (nanos-long,
+        # micros-NTZ, micros-LTZ) to plain TimestampType so downstream
+        # epoch casts are always legal.
+        assert isinstance(df.schema[c].dataType, T.TimestampType), (
+            c,
+            df.schema[c].dataType,
+        )
 
 
 def test_csv_corrupt_record_isolation(spark, tmp_path):
@@ -239,3 +241,60 @@ def test_zordered_write_skips_on_both_columns(spark, tmp_path):
     cp = str(tmp_path / "c")
     write_clustered(li, cp, "l_extendedprice", files=16)
     assert avg_range_frac(cp, "l_partkey") > 0.8
+
+
+# ---------------------------------------------------------------------------
+# Timestamp physical-encoding matrix (VERDICT r02 #9)
+# ---------------------------------------------------------------------------
+# The driver-generated events.parquet has changed encoding between rounds
+# (r01: TIMESTAMP(NANOS) → nanos-as-long; r02: TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) → TIMESTAMP_NTZ). load_table must normalize ALL
+# plausible encodings to plain TimestampType with identical instants.
+
+_TS_MICROS_UTC = [1_704_067_200_000_000, 1_704_070_800_123_456]  # 2024-01-01T00/01 UTC
+
+
+@pytest.mark.parametrize("encoding", ["nanos", "micros_ntz", "micros_utc"])
+def test_load_table_normalizes_all_timestamp_encodings(spark, tmp_path, encoding):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_type = {
+        "nanos": pa.timestamp("ns"),
+        "micros_ntz": pa.timestamp("us"),
+        "micros_utc": pa.timestamp("us", tz="UTC"),
+    }[encoding]
+    scale = 1000 if encoding == "nanos" else 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([v * scale for v in _TS_MICROS_UTC], arrow_type),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType), (
+        encoding,
+        df.schema["ts"].dataType,
+    )
+    # identical instants regardless of encoding: epoch micros must match
+    from pyspark.sql import functions as F
+
+    got = [
+        r[0]
+        for r in df.orderBy("event_id")
+        .select(F.unix_micros(F.col("ts")))
+        .collect()
+    ]
+    assert got == _TS_MICROS_UTC, (encoding, got)
+    # and the epoch-seconds helper (used by sessionization / range joins)
+    # must be legal and exact over the normalized column
+    from big_data_imdb_classifier_spark.functions.temporal import epoch_seconds
+
+    secs = [
+        r[0]
+        for r in df.orderBy("event_id").select(epoch_seconds("ts")).collect()
+    ]
+    assert secs == [v // 1_000_000 for v in _TS_MICROS_UTC], (encoding, secs)
