@@ -1,0 +1,126 @@
+"""Live-LLM client path (VERDICT r02 #6): batched HTTP inference against
+a local mock Ollama server, composed with the cache-first enrichment
+framework — per-partition batched calls, vocab validation, 'unknown'
+fallback, and cache short-circuit (no HTTP for cached keys)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from big_data_imdb_classifier_spark.operators import enrichment as EN
+from big_data_imdb_classifier_spark.operators import llm_client as LC
+
+from .conftest import SF_SMOKE
+
+
+class _MockOllama(BaseHTTPRequestHandler):
+    """Deterministic /api/generate: topic from the doc key embedded in
+    the prompt, decorated with noise so validation has real work."""
+
+    hits: list[str] = []
+    fail_keys: set[str] = set()
+
+    def do_POST(self):  # noqa: N802
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        prompt = body["prompt"]
+        # enrichment.build_prompt embeds "document <key>." on line 1
+        key = prompt.split("document ")[1].split(".")[0]
+        type(self).hits.append(key)
+        if key in self.fail_keys:
+            self.send_response(500)
+            self.end_headers()
+            return
+        vocab = EN.TOPIC_VOCAB
+        topic = vocab[int(key) % len(vocab)]
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(
+            json.dumps({"response": f'  "{topic.upper()}"  \n'}).encode()
+        )
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture()
+def mock_server():
+    _MockOllama.hits = []
+    _MockOllama.fail_keys = set()
+    srv = HTTPServer(("127.0.0.1", 0), _MockOllama)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _docs(spark, n=20):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where(f"doc_id < {n}")
+        .select("doc_id", "text")
+    )
+
+
+def test_validate_response_contract():
+    assert LC.validate_response(' "Sci-Fi" ', LC.IMDB_GENRES) == "Sci-Fi"
+    assert LC.validate_response("drama", LC.IMDB_GENRES) == "Drama"
+    assert LC.validate_response("Romantic Comedy", LC.IMDB_GENRES) == "unknown"
+    assert LC.validate_response(None, LC.IMDB_GENRES) == "unknown"
+
+
+def test_http_batch_fn_end_to_end_with_cache(spark, tmp_path, mock_server):
+    cache = str(tmp_path / "cache.parquet")
+    fn = LC.make_ollama_batch_fn(
+        host=mock_server, vocab=EN.TOPIC_VOCAB, use_client_lib=False
+    )
+    out = EN.enrich_with_cache(
+        spark, _docs(spark), "doc_id", "text", "topic", cache, batch_fn=fn
+    ).collect()
+    assert len(out) == 20
+    by_key = {r.doc_id: r.topic for r in out}
+    for k, v in by_key.items():
+        assert v == EN.TOPIC_VOCAB[k % len(EN.TOPIC_VOCAB)], (k, v)
+    # every key hit the server exactly once (batched per partition, no
+    # duplicate inference)
+    assert sorted(_MockOllama.hits) == sorted(str(k) for k in by_key)
+
+    # cache-first short-circuit: second run must make ZERO HTTP calls
+    _MockOllama.hits = []
+    again = EN.enrich_with_cache(
+        spark, _docs(spark), "doc_id", "text", "topic", cache, batch_fn=fn
+    ).collect()
+    assert _MockOllama.hits == []
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_http_errors_degrade_to_unknown(spark, mock_server):
+    _MockOllama.fail_keys = {"3", "7"}
+    fn = LC.make_ollama_batch_fn(
+        host=mock_server, vocab=EN.TOPIC_VOCAB, use_client_lib=False
+    )
+    out = EN.enrich_with_cache(
+        spark, _docs(spark, 10), "doc_id", "text", "topic", None, batch_fn=fn
+    ).collect()
+    by_key = {r.doc_id: r.topic for r in out}
+    assert by_key[3] == "unknown" and by_key[7] == "unknown"
+    ok = [k for k in by_key if k not in (3, 7)]
+    assert all(by_key[k] in EN.TOPIC_VOCAB for k in ok)
+
+
+def test_unreachable_server_falls_back_not_fails(spark):
+    fn = LC.make_ollama_batch_fn(
+        host="http://127.0.0.1:1",  # nothing listens here
+        vocab=EN.TOPIC_VOCAB,
+        use_client_lib=False,
+        timeout=0.5,
+    )
+    out = EN.enrich_with_cache(
+        spark, _docs(spark, 5), "doc_id", "text", "topic", None, batch_fn=fn
+    ).collect()
+    assert len(out) == 5
+    assert all(r.topic == "unknown" for r in out)
