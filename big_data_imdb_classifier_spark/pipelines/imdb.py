@@ -25,9 +25,14 @@ Same capabilities, different execution shapes:
   and hand-carries indexer models in a dict (382-396); fitting once is
   both the bug-fix and the scale shape (no second stats pass over test).
 
-The extra TMDB CSV (budget/revenue/popularity) the reference CLI requires
-is not part of the committed dataset; it is optional here — when absent,
-those features are simply not in the feature vector.
+The extra TMDB CSV (budget/revenue/popularity, reference
+classifier_pipeline.py:210-242 + runner's required extra_data path) is
+wired via ``load_tmdb`` + ``preprocess_tmdb``: select/rename
+imdb_id→tconst, cast the three metrics to double, and impute with
+NON-ZERO train means (the reference computes means over ``col > 0.0``
+only — a zero budget means "missing" in TMDB). The file is gitignored in
+the reference too, so the path stays optional here: when absent, those
+features are simply not in the feature vector.
 """
 
 from __future__ import annotations
@@ -56,9 +61,18 @@ from ..sources.sinks import save_predictions_txt
 
 NUMERIC_COLS = ["runtimeMinutes", "numVotes"]
 CATEGORICAL_COLS = ["writer", "director", "genre", "decade"]
+TMDB_COLS = ["budget", "revenue", "popularity"]
 
 SPEC = MLP.ClassifierSpec(
     numeric_cols=NUMERIC_COLS,
+    categorical_cols=CATEGORICAL_COLS,
+    label_col="label",
+)
+
+# Feature spec when the optional TMDB extra data is joined in
+# (reference classifier_pipeline.py:459 EXTRA_DATA_TARGET_COLS).
+SPEC_WITH_TMDB = MLP.ClassifierSpec(
+    numeric_cols=NUMERIC_COLS + TMDB_COLS,
     categorical_cols=CATEGORICAL_COLS,
     label_col="label",
 )
@@ -72,14 +86,44 @@ class IMDBData:
     directing: DataFrame
     train_genres: DataFrame
     test_genres: DataFrame
+    extra: DataFrame | None = None
+
+
+def load_tmdb(spark: SparkSession, path: str) -> DataFrame:
+    """TMDB extra-data CSV scan (reference classifier_pipeline.py:210-242).
+
+    The raw TMDB dump has ~24 columns whose order is not contractual, so
+    a positional StructType would silently mis-map; instead the header
+    names the columns (one scan, all-string parse — no inferSchema
+    double-scan) and only the id + three target metrics are projected,
+    cast to double at scan output. Everything else is pruned before any
+    shuffle."""
+    raw = spark.read.option("header", True).csv(path)
+    return raw.select(
+        F.col("imdb_id").alias("tconst"),
+        *[F.col(c).cast("double").alias(c) for c in TMDB_COLS],
+    )
+
+
+def tmdb_nonzero_means(extra: DataFrame) -> dict[str, float]:
+    """NON-ZERO means of the TMDB metrics in ONE aggregate job (reference
+    classifier_pipeline.py:232-242 runs one filter+agg+collect per column
+    over ``col > 0.0`` rows — zero budget/revenue is TMDB's 'missing').
+    Computed once on the extra table and reused for train AND test, the
+    mean_dict contract."""
+    row = extra.agg(
+        *[F.avg(F.when(F.col(c) > 0.0, F.col(c))).alias(c) for c in TMDB_COLS]
+    ).first()
+    return {c: (row[c] if row[c] is not None else 1.0) for c in TMDB_COLS}
 
 
 def load_imdb(
     spark: SparkSession, data_dir: str, test_name: str = "validation",
-    llm_name: str = "gemma3_4b",
+    llm_name: str = "gemma3_4b", extra_csv_path: str | None = None,
 ) -> IMDBData:
     """All reference sources, schema-declared, one scan each."""
     return IMDBData(
+        extra=load_tmdb(spark, extra_csv_path) if extra_csv_path else None,
         train=load_csv_glob(
             spark, os.path.join(data_dir, "train-*.csv"), imdb_train_schema(True)
         ),
@@ -160,9 +204,15 @@ def top_entity_per_movie(df: DataFrame, entity_col: str) -> DataFrame:
     ).select("movie", entity_col)
 
 
-def engineer(df: DataFrame, data: IMDBData, genres: DataFrame) -> DataFrame:
-    """Metadata merge + genre + decade (classifier_pipeline.py:320-412
-    steps 1-6; steps 7-10 live in the ML Pipeline)."""
+def engineer(
+    df: DataFrame,
+    data: IMDBData,
+    genres: DataFrame,
+    tmdb_means: dict[str, float] | None = None,
+) -> DataFrame:
+    """Metadata merge + optional TMDB merge + genre + decade
+    (classifier_pipeline.py:320-412 steps 1-6; steps 7-10 live in the ML
+    Pipeline)."""
     writers = top_entity_per_movie(data.writing, "writer")
     directors = top_entity_per_movie(data.directing, "director")
     df = (
@@ -173,6 +223,17 @@ def engineer(df: DataFrame, data: IMDBData, genres: DataFrame) -> DataFrame:
         .join(genres.dropDuplicates(["tconst"]), "tconst", "left")
         .na.fill({"writer": "unknown", "director": "unknown", "genre": "unknown"})
     )
+    if data.extra is not None:
+        # Left-join the (pruned, 4-column) TMDB frame, then repair nulls
+        # (movies absent from TMDB) AND zeros (TMDB's missing marker)
+        # with the shared non-zero means — reference
+        # classifier_pipeline.py:352-360. The extra side is dim-sized
+        # relative to a 100 TB fact; Spark/AQE broadcasts it.
+        means = tmdb_means if tmdb_means is not None else tmdb_nonzero_means(
+            data.extra
+        )
+        df = df.join(data.extra.dropDuplicates(["tconst"]), "tconst", "left")
+        df = impute_mean(df, TMDB_COLS, means=means, treat_zero_as_null=True)
     decade = F.concat(
         (F.floor(F.col("startYear") / 10) * 10).cast("int").cast("string"),
         F.lit("s"),
@@ -187,8 +248,9 @@ def build_features(
     train statistics only ever computed on train."""
     train = preprocess(data.train, train_df=None)
     test = preprocess(data.test, train_df=data.train)
-    train = engineer(train, data, data.train_genres)
-    test = engineer(test, data, data.test_genres)
+    tmdb_means = tmdb_nonzero_means(data.extra) if data.extra is not None else None
+    train = engineer(train, data, data.train_genres, tmdb_means=tmdb_means)
+    test = engineer(test, data, data.test_genres, tmdb_means=tmdb_means)
     train = train.withColumn(
         "label", F.when(F.col("label") == "True", 1.0).otherwise(0.0)
     )
@@ -201,11 +263,15 @@ def run_imdb(
     out_path: str,
     test_name: str = "validation",
     model_path: str | None = None,
+    extra_csv_path: str | None = None,
 ) -> DataFrame:
     """Full train→predict→TXT workflow. Returns the prediction frame."""
-    data = load_imdb(spark, data_dir, test_name=test_name)
+    data = load_imdb(
+        spark, data_dir, test_name=test_name, extra_csv_path=extra_csv_path
+    )
     train_df, test_df = build_features(spark, data)
-    model: PipelineModel = MLP.train(SPEC, train_df)
+    spec = SPEC_WITH_TMDB if data.extra is not None else SPEC
+    model: PipelineModel = MLP.train(spec, train_df)
     if model_path:
         MLP.save_model(model, model_path)
     preds = model.transform(test_df).select("tconst", "prediction")
@@ -225,6 +291,8 @@ def main() -> None:
     ap.add_argument("--test-name", default="validation",
                     choices=["validation", "test"])
     ap.add_argument("--model-path", default=None)
+    ap.add_argument("--extra-data-path", default=None,
+                    help="optional TMDB CSV (budget/revenue/popularity)")
     args = ap.parse_args()
     run_imdb(
         get_spark(),
@@ -232,6 +300,7 @@ def main() -> None:
         out_path=os.path.join(args.results_path, f"{args.test_name}_preds.txt"),
         test_name=args.test_name,
         model_path=args.model_path,
+        extra_csv_path=args.extra_data_path,
     )
 
 

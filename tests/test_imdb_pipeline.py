@@ -95,3 +95,70 @@ def test_end_to_end_parity(spark, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def _write_tmdb_fixture(tmp_path, tconsts):
+    """Synthetic TMDB CSV in the real dump's shape: header-named columns,
+    extra irrelevant columns, zero values marking 'missing', and ids
+    covering only part of the corpus."""
+    import csv
+
+    p = tmp_path / "tmdb.csv"
+    with open(p, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(
+            ["id", "title", "imdb_id", "budget", "revenue",
+             "popularity", "status"]
+        )
+        for i, t in enumerate(tconsts):
+            # every third movie has zero budget/revenue (TMDB missing)
+            budget = 0 if i % 3 == 0 else 1_000_000 * (i + 1)
+            revenue = 0 if i % 3 == 0 else 2_500_000 * (i + 1)
+            w.writerow([i, f"movie-{i}", t, budget, revenue,
+                        round(1.5 * (i + 1), 2), "Released"])
+    return str(p)
+
+
+def test_tmdb_extra_data_join_and_nonzero_imputation(spark, tmp_path, imdb_data):
+    ids = [r.tconst for r in imdb_data.train.select("tconst").limit(30).collect()]
+    path = _write_tmdb_fixture(tmp_path, ids[:20])  # only 20 of 30 covered
+
+    extra = P.load_tmdb(spark, path)
+    assert extra.columns == ["tconst"] + P.TMDB_COLS
+    means = P.tmdb_nonzero_means(extra)
+    # non-zero mean: zeros excluded from the statistic
+    import statistics
+
+    budgets = [1_000_000 * (i + 1) for i in range(20) if i % 3 != 0]
+    assert means["budget"] == pytest.approx(statistics.mean(budgets))
+
+    data = P.IMDBData(
+        train=imdb_data.train,
+        test=imdb_data.test,
+        writing=imdb_data.writing,
+        directing=imdb_data.directing,
+        train_genres=imdb_data.train_genres,
+        test_genres=imdb_data.test_genres,
+        extra=extra,
+    )
+    train, test = P.build_features(spark, data)
+    for df in (train, test):
+        for c in P.TMDB_COLS:
+            assert c in df.columns, c
+            # no nulls (absent movies) and no zeros (TMDB missing) survive
+            assert df.where(F.col(c).isNull() | (F.col(c) == 0.0)).count() == 0, c
+    # movies outside the fixture got the shared non-zero mean
+    outside = train.join(
+        extra.select("tconst"), "tconst", "left_anti"
+    ).select("budget").first()
+    assert outside.budget == pytest.approx(means["budget"])
+
+    # and the TMDB metrics make it into the fitted feature vector
+    from big_data_imdb_classifier_spark.ml import pipeline as MLP
+
+    model = MLP.train(P.SPEC_WITH_TMDB, train)
+    out = model.transform(test)
+    n_features = len(P.SPEC_WITH_TMDB.numeric_cols) + len(
+        P.SPEC_WITH_TMDB.categorical_cols
+    )
+    assert out.first().features.size == n_features
