@@ -114,12 +114,25 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(_corpus(spark, sf_dir)).orderBy("doc_id", "frame_no")
 
 
-@query("mm_resize_thumbnails")  # rows-only: binary output column
+@query(
+    "mm_resize_thumbnails",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS width,
+           CAST(64 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS thumb_bytes
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
+    """,
+)
 def mm_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail plumbing for the image rows — fixed target dims, binary
-    payload out (stub resample).  Binary columns don't canonicalize
-    through the SQL compare, so this is rows-only; determinism and byte
-    shape are pytest-gated (tests/test_multimodal.py)."""
+    payload out (stub resample). The binary column itself can't
+    canonicalize through the SQL compare, but everything AROUND it can:
+    the oracle pins media-type routing (image ⇔ doc_id % 3 = 0), row
+    cardinality, the requested dims, and the stub digest's byte length —
+    so the mapInPandas plumbing (schema, batching, row filtering) is
+    driver-gated; payload determinism stays pytest-gated
+    (tests/test_multimodal.py)."""
     thumbs = MM.resize_images(_corpus(spark, sf_dir), width=64, height=64)
     return thumbs.select(
         "doc_id", "width", "height", F.length("thumbnail").alias("thumb_bytes")
