@@ -76,7 +76,13 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    names = [n for n in HEADLINE if n in plans.QUERIES]
+    # `python bench.py --all` times EVERY registry query (the secondary
+    # regression ledger, BENCHLOG.md); the driver's default run stays the
+    # headline set.
+    if "--all" in sys.argv:
+        names = sorted(plans.QUERIES)
+    else:
+        names = [n for n in HEADLINE if n in plans.QUERIES]
 
     # Warm-up pass (tiny SF): JIT, codegen, Arrow init.
     for n in names:

@@ -69,6 +69,16 @@ def main() -> None:
         print(f"ok   {name}: {status} ({results[name]['sec']}s)", flush=True)
 
     fails = [n for n, r in results.items() if r["status"] == "FAIL"]
+    out_path = os.environ.get("SPARK_GRAFT_SIM_OUT")
+    if out_path:
+        # Committed round artifact (SIM_r{N}.json) so the sim results the
+        # round's claims rest on are auditable/diffable next round.
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": SF_DIR, "total": len(results),
+                 "fails": fails, "results": results},
+                fh, indent=1, sort_keys=True,
+            )
     print(json.dumps({"total": len(results), "fails": fails}))
     if fails:
         sys.exit(1)
