@@ -147,34 +147,144 @@ def _fake_decode(media_type: str, content: bytes) -> dict:
     return meta
 
 
-def decode_real(media_type: str, content: bytes) -> dict:
-    """Real decode — NOT IMPLEMENTED in this container (no codec libs).
-    The import-gate shows exactly where a codec plugs in."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "real media decode requires a codec library (PIL/librosa/av) "
-            "not present in this environment; operators use _fake_decode"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_image_header(content: bytes) -> dict | None:
+    """Dependency-free image metadata from the container header (public
+    formats: PNG IHDR, GIF logical screen descriptor, JPEG SOF marker).
+    Returns None when the payload is not a recognized image container."""
+    if content.startswith(_PNG_SIG) and len(content) >= 26:
+        return dict(
+            width=int.from_bytes(content[16:20], "big"),
+            height=int.from_bytes(content[20:24], "big"),
+            channels=_PNG_CHANNELS.get(content[25], 3),
         )
-    raise NotImplementedError("codec integration point")
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
+        return dict(
+            width=int.from_bytes(content[6:8], "little"),
+            height=int.from_bytes(content[8:10], "little"),
+            channels=3,
+        )
+    if content[:2] == b"\xff\xd8":  # JPEG: walk markers to an SOF segment
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                break
+            marker = content[i + 1]
+            seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return dict(
+                    height=int.from_bytes(content[i + 5 : i + 7], "big"),
+                    width=int.from_bytes(content[i + 7 : i + 9], "big"),
+                    channels=content[i + 9],
+                )
+            i += 2 + seg_len
+    return None
 
 
-def decode_metadata(corpus: DataFrame) -> DataFrame:
-    """Binary → typed metadata via one Arrow ``mapInPandas`` pass."""
+def decode_real(media_type: str, content: bytes) -> dict:
+    """REAL metadata decode for the formats this environment can handle
+    without optional codec libraries, with library hooks where it can't:
+
+    - image: PIL when installed; else a dependency-free header parse of
+      PNG/GIF/JPEG (public container formats).
+    - audio: soundfile when installed; else stdlib ``wave`` for WAV.
+    - video: requires ``av`` (no stdlib container parser is practical);
+      import-gated NotImplementedError otherwise.
+
+    Same dict shape as ``_fake_decode`` so the mapInPandas operators are
+    decoder-agnostic; unsupported payloads raise ValueError (caller maps
+    to a null-metadata row, never a job failure).
+    """
+    meta = dict(
+        byte_len=len(content), width=None, height=None, channels=None,
+        n_frames=None, fps=None, sample_rate=None, duration_ms=None,
+    )
+    if media_type == "image":
+        try:
+            import io
+
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(content)) as im:
+                meta.update(
+                    width=im.width, height=im.height,
+                    channels=len(im.getbands()),
+                )
+                return meta
+        except ImportError:
+            pass
+        parsed = _parse_image_header(content)
+        if parsed is None:
+            raise ValueError("unrecognized image container")
+        meta.update(parsed)
+        return meta
+    if media_type == "audio":
+        import io
+
+        try:
+            import soundfile
+
+            info = soundfile.info(io.BytesIO(content))
+            meta.update(
+                sample_rate=int(info.samplerate),
+                duration_ms=int(info.frames * 1000 / info.samplerate),
+                channels=info.channels,
+            )
+            return meta
+        except ImportError:
+            pass
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(content)) as w:
+                rate = w.getframerate()
+                meta.update(
+                    sample_rate=rate,
+                    duration_ms=int(w.getnframes() * 1000 / rate),
+                    channels=w.getnchannels(),
+                )
+                return meta
+        except wave.Error as ex:
+            raise ValueError(f"unrecognized audio container: {ex}") from ex
+    if media_type == "video":
+        try:
+            import av  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "video decode requires the 'av' package (not present in "
+                "this environment); operators use _fake_decode"
+            )
+        raise NotImplementedError("av-based video probe integration point")
+    raise ValueError(f"unknown media_type {media_type!r}")
+
+
+def decode_metadata(corpus: DataFrame, decoder=None) -> DataFrame:
+    """Binary → typed metadata via one Arrow ``mapInPandas`` pass.
+
+    ``decoder(media_type, content) -> dict`` defaults to the
+    deterministic ``_fake_decode`` (oracle-checkable). Pass
+    ``decode_real`` over genuine media payloads; a payload the decoder
+    rejects (ValueError) yields a null-metadata row instead of failing
+    the task — a 100 TB corpus always contains corrupt files.
+    """
+    decode = decoder if decoder is not None else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                {
-                    "doc_id": d,
-                    "media_type": m,
-                    **_fake_decode(m, bytes(c)),
-                }
-                for d, m, c in zip(
-                    pdf["doc_id"], pdf["media_type"], pdf["content"]
-                )
-            ]
+            rows = []
+            for d, m, c in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
+                try:
+                    meta = decode(m, bytes(c))
+                except ValueError:
+                    meta = dict(
+                        byte_len=len(bytes(c)), width=None, height=None,
+                        channels=None, n_frames=None, fps=None,
+                        sample_rate=None, duration_ms=None,
+                    )
+                rows.append({"doc_id": d, "media_type": m, **meta})
             yield pd.DataFrame(rows, columns=[f.name for f in METADATA_SCHEMA])
 
     return corpus.mapInPandas(run, schema=METADATA_SCHEMA)

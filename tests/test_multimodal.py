@@ -83,6 +83,99 @@ def test_byte_features_match_numpy(spark, corpus):
         assert f.n_distinct_bytes == int(np.unique(a).size)
 
 
-def test_real_decode_is_gated(spark):
-    with pytest.raises(NotImplementedError):
-        MM.decode_real("image", b"\x89PNG")
+def _png_bytes(width, height, color_type=6):
+    """Minimal valid PNG built from stdlib (zlib + struct)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + b"\x7f" * (width * n_ch) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(rate=16000, n_frames=8000, channels=2):
+    """Valid WAV built from stdlib wave."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x01" * n_frames * channels)
+    return buf.getvalue()
+
+
+def test_real_decode_png():
+    meta = MM.decode_real("image", _png_bytes(320, 200, color_type=2))
+    assert (meta["width"], meta["height"], meta["channels"]) == (320, 200, 3)
+    meta = MM.decode_real("image", _png_bytes(17, 5, color_type=6))
+    assert (meta["width"], meta["height"], meta["channels"]) == (17, 5, 4)
+
+
+def test_real_decode_gif_and_jpeg_headers():
+    gif = b"GIF89a" + (240).to_bytes(2, "little") + (135).to_bytes(2, "little")
+    meta = MM.decode_real("image", gif + b"\x00" * 16)
+    assert (meta["width"], meta["height"]) == (240, 135)
+    # JPEG: SOI + APP0 stub + SOF0 (height=480, width=640, 3 components)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03"
+    )
+    meta = MM.decode_real("image", jpeg)
+    assert (meta["width"], meta["height"], meta["channels"]) == (640, 480, 3)
+
+
+def test_real_decode_wav():
+    meta = MM.decode_real("audio", _wav_bytes(rate=16000, n_frames=8000))
+    assert meta["sample_rate"] == 16000
+    assert meta["duration_ms"] == 500
+    assert meta["channels"] == 2
+
+
+def test_real_decode_rejects_garbage_and_gates_video():
+    with pytest.raises(ValueError):
+        MM.decode_real("image", b"\x89PNG")  # truncated container
+    with pytest.raises(ValueError):
+        MM.decode_real("audio", b"not audio at all")
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            MM.decode_real("video", b"anything")
+
+
+def test_decode_metadata_with_real_decoder_over_real_payloads(spark):
+    """The mapInPandas operator runs decode_real over genuine PNG/WAV
+    payloads; corrupt rows degrade to null metadata, never fail."""
+    rows = [
+        (1, "image", bytearray(_png_bytes(64, 32, color_type=2))),
+        (2, "audio", bytearray(_wav_bytes(rate=8000, n_frames=4000))),
+        (3, "image", bytearray(b"corrupt-not-a-png")),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary"
+    )
+    got = {
+        r.doc_id: r
+        for r in MM.decode_metadata(corpus, decoder=MM.decode_real).collect()
+    }
+    assert (got[1].width, got[1].height, got[1].channels) == (64, 32, 3)
+    assert (got[2].sample_rate, got[2].duration_ms) == (8000, 500)
+    assert got[3].width is None and got[3].sample_rate is None
+    assert got[3].byte_len == len(b"corrupt-not-a-png")
