@@ -38,6 +38,15 @@ RF_PARAMS = dict(
     featureSubsetStrategy="sqrt",
     subsamplingRate=0.8,
     seed=42,
+    # Execution tuning, NOT a model hyperparameter (node-group batching
+    # only; the fitted trees are identical): every training task
+    # allocates an O(maxMemoryInMB) split-stats aggregation buffer, so
+    # peak heap is task_slots × this value — the default 256 MB × 32
+    # local slots ≈ 8 GB of transient buffers, which intermittently
+    # OOMs the single-JVM heap at depth 15. 64 MB bounds the fleet-wide
+    # buffer at ¼ heap; on a real cluster size it to
+    # executor_mem / cores_per_executor headroom the same way.
+    maxMemoryInMB=64,
 )
 
 

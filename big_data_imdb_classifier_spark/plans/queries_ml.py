@@ -34,7 +34,9 @@ SPEC = MLP.ClassifierSpec(
 )
 
 _SPLIT_SEED = 42
-_model_cache: dict[tuple[str, str], tuple[PipelineModel, DataFrame, DataFrame]] = {}
+_model_cache: dict[
+    tuple[str, str], tuple[PipelineModel, DataFrame, DataFrame, DataFrame]
+] = {}
 
 
 def training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,8 +79,32 @@ def _fitted(spark: SparkSession, sf_dir: str):
     if key not in _model_cache:
         df = training_frame(spark, sf_dir)
         train_df, test_df = df.randomSplit([0.8, 0.2], seed=_SPLIT_SEED)
+        # RF fitting scans the training set once per tree depth level;
+        # without a cache every scan re-executes the orders⋈lineitem
+        # rollup. Standard MLlib practice: persist the input before fit.
+        train_df = train_df.persist()
         model = MLP.train(SPEC, train_df)
-        _model_cache[key] = (model, train_df, test_df)
+        # The hold-out transform is the expensive shared step (the
+        # 300-tree forest rides every task as a ~60 MB task binary and
+        # the test lineage re-joins orders⋈lineitem): persist the
+        # 2-column prediction frame ONCE so the metric/distribution/
+        # confusion queries each aggregate cached rows instead of
+        # re-running the forest. The repartition(8) bounds how many
+        # concurrent tasks deserialize the forest at once — tree
+        # ensembles serialize into the task closure, so peak heap is
+        # n_concurrent_tasks × deserialized-model-size; 32-way local
+        # parallelism on this hold-out OOMs an 8g heap for zero speedup
+        # (the transform is model-deserialization-bound, not row-bound).
+        # localCheckpoint (eager) rather than persist: it TRUNCATES the
+        # lineage, so downstream jobs stop shipping the forest inside
+        # their task binaries — with persist every cached-read job still
+        # serialized the transform closure (~60 MB, seconds per action).
+        preds = (
+            model.transform(test_df.repartition(8))
+            .select("label", "prediction")
+            .localCheckpoint(eager=True)
+        )
+        _model_cache[key] = (model, train_df, test_df, preds)
     return _model_cache[key]
 
 
@@ -86,8 +112,12 @@ def _fitted(spark: SparkSession, sf_dir: str):
 def ml_rf_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit on the 80% split, evaluate accuracy on the 20% hold-out
     (M5+M7). One row: accuracy, split sizes, feature count."""
-    model, train_df, test_df = _fitted(spark, sf_dir)
-    acc = MLP.evaluate_accuracy(model, test_df)
+    model, train_df, test_df, preds = _fitted(spark, sf_dir)
+    acc = (
+        preds.agg(
+            F.avg((F.col("label") == F.col("prediction")).cast("double"))
+        ).first()[0]
+    )
     return spark.createDataFrame(
         [
             (
@@ -104,7 +134,7 @@ def ml_rf_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ml_rf_feature_importances")  # rows-only
 def ml_rf_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RF featureImportances zipped with feature names, descending (M6)."""
-    model, _, _ = _fitted(spark, sf_dir)
+    model, _, _, _ = _fitted(spark, sf_dir)
     pairs = MLP.feature_importances(model, SPEC)
     return spark.createDataFrame(
         [(f, round(imp, 4)) for f, imp in pairs],
@@ -116,8 +146,7 @@ def ml_rf_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_rf_prediction_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prediction label distribution on the hold-out (A6 analog — the
     reference's commented-out True/False tally, data_utils.py:437-449)."""
-    model, _, test_df = _fitted(spark, sf_dir)
-    preds = model.transform(test_df)
+    _, _, _, preds = _fitted(spark, sf_dir)
     return (
         preds.groupBy("prediction")
         .agg(F.count("*").alias("n"))
@@ -174,10 +203,9 @@ def ml_scaler_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_rf_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hold-out confusion matrix (label × prediction counts) — the
     evaluator surface beyond a single accuracy scalar (M7/A6). Uses the
-    per-session fitted model cache; one groupBy over the transformed
-    hold-out."""
-    model, _, test_df = _fitted(spark, sf_dir)
-    preds = model.transform(test_df)
+    per-session fitted model cache; one groupBy over the persisted
+    hold-out predictions."""
+    _, _, _, preds = _fitted(spark, sf_dir)
     return (
         preds.groupBy("label", "prediction")
         .agg(F.count("*").alias("n"))

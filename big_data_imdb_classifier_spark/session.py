@@ -20,11 +20,15 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     # Correctness: DuckDB oracle timestamps are UTC-naive.
     "spark.sql.session.timeZone": "UTC",
-    # Single-JVM local mode: driver heap IS the executor heap. The default
-    # 1g cannot hold a 300-tree depth-15 RF model (reference-parity
-    # hyperparams); the reference itself runs 8g (classifier_pipeline.py:91).
-    # Applies only at JVM launch — getOrCreate on a live session ignores it.
-    "spark.driver.memory": "8g",
+    # Single-JVM local mode: driver heap IS the executor heap, shared by
+    # all local[N] task threads. The default 1g cannot hold a 300-tree
+    # depth-15 RF model (reference-parity hyperparams; the reference
+    # itself runs 8g, classifier_pipeline.py:91), and tree-ensemble task
+    # binaries deserialize PER TASK — peak heap scales with concurrent
+    # tasks, so 32-way local parallelism needs headroom beyond the
+    # reference's 8g. Applies only at JVM launch — getOrCreate on a live
+    # session ignores it.
+    "spark.driver.memory": "16g",
     # Runtime re-planning: partition coalescing, SMJ->BHJ conversion,
     # skew-join splitting. Free wins at any scale.
     "spark.sql.adaptive.enabled": "true",
