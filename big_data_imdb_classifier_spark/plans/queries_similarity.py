@@ -172,7 +172,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
-@query("knn_ann_ivf")  # rows-only: recall-gated in pytest
+@query(
+    "knn_ann_recall_gate",
+    oracle=f"""
+    SELECT CAST({N_QUERY_VECS} AS BIGINT) AS n_queries,
+           TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+    """,
+)
+def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated ANN quality: recall@k of both approximate indexes
+    (hyperplane LSH, IVF) against the exact cosine top-k, computed
+    in-query and asserted against their floors (LSH ≥ 0.85, IVF ≥ 0.5 —
+    the same floors tests/test_similarity.py enforces). The ANN result
+    sets themselves are engine-specific (rows-only queries above); this
+    gate makes an index-quality regression fail the hash compare, the
+    same pattern as approx_distinct_parts. The recall join is a
+    left_semi on (query, neighbor) over k·|queries| rows — negligible
+    next to the searches themselves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    cols = ["query_id", "neighbor_id"]
+    exact = SIM.knn_exact_cosine(emb, queries, k=TOP_K).select(cols)
+    n_exact = exact.count()
+
+    def recall(ann: DataFrame) -> float:
+        hit = exact.join(ann.select(cols), cols, "left_semi").count()
+        return hit / n_exact
+
+    lsh = recall(SIM.knn_ann_hyperplane(emb, queries, k=TOP_K))
+    ivf = recall(SIM.knn_ivf(emb, queries, k=TOP_K, n_clusters=16, n_probe=4))
+    return spark.createDataFrame(
+        [(N_QUERY_VECS, lsh >= 0.85, ivf >= 0.5)],
+        "n_queries long, lsh_recall_ok boolean, ivf_recall_ok boolean",
+    )
+
+
+@query("knn_ann_ivf")  # rows-only: recall-gated in pytest + recall gate query
 def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate cosine top-k (KMeans coarse quantizer, 16 cells,
     4-probe): the partition-pruned scale path. Recall@10 vs the exact

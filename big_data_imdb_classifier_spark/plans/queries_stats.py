@@ -223,23 +223,41 @@ def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rows-only (approximate — values can't hash-match an exact oracle;
-# tests/test_stats.py gates the error bound against the exact result).
-@query("approx_percentile_price")
+@query(
+    "approx_percentile_price",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.50), {_R}) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), {_R}) AS p95_exact,
+           TRUE AS ap50_ok, TRUE AS ap95_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via the Greenwald-Khanna sketch
     (``percentile_approx``, accuracy 10000 → ~0.01% rank error): the
     100 TB path where the exact per-group sort buffer of
     ``stats_percentiles_by_flag`` would dominate. Sketches merge
-    associatively, so partial aggregation stays map-side; pytest bounds
-    the relative error against the exact result."""
+    associatively, so partial aggregation stays map-side.
+
+    Sketch values differ engine-to-engine, so the oracle pins the EXACT
+    percentiles (hash-matched) plus in-query booleans asserting each
+    sketch estimate lands within 1% of its exact value — a sketch
+    regression fails the driver gate, same pattern as
+    approx_distinct_parts. All four aggregates ride one shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     acc = F.lit(10000)
+    ap50 = F.percentile_approx("l_extendedprice", F.lit(0.5), acc)
+    ap95 = F.percentile_approx("l_extendedprice", F.lit(0.95), acc)
+    p50 = F.percentile("l_extendedprice", F.lit(0.5))
+    p95 = F.percentile("l_extendedprice", F.lit(0.95))
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("ap50"),
-            F.percentile_approx("l_extendedprice", F.lit(0.95), acc).alias("ap95"),
+            F.round(p50, _R).alias("p50_exact"),
+            F.round(p95, _R).alias("p95_exact"),
+            (F.abs(ap50 - p50) / p50 <= 0.01).alias("ap50_ok"),
+            (F.abs(ap95 - p95) / p95 <= 0.01).alias("ap95_ok"),
         )
         .orderBy("l_returnflag")
     )
