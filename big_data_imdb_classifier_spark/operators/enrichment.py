@@ -144,9 +144,9 @@ def enrich_with_cache(
         # invisible until job commit, so readers never see partial files.
         fresh.write.mode("append").parquet(cache_path)
         merged = spark.read.parquet(cache_path).dropDuplicates([key_col])
-    elif cached is not None:
-        merged = cached.unionByName(fresh).dropDuplicates([key_col])
     else:
+        # no persistence: cached is always None here (it is only read
+        # when cache_path is set), so fresh IS the full result
         merged = fresh
 
     return df.select(key_col).join(merged, key_col, "left")

@@ -108,7 +108,9 @@ def make_ollama_batch_fn(
             try:
                 import ollama  # type: ignore
 
-                client = ollama.Client(host=host)
+                # same deadline as the urllib path — a stalled endpoint
+                # must not hang executor tasks forever
+                client = ollama.Client(host=host, timeout=timeout)
             except ImportError:
                 if want_lib:
                     raise

@@ -216,6 +216,12 @@ def decode_real(media_type: str, content: bytes) -> dict:
                 return meta
         except ImportError:
             pass
+        except Exception:
+            # PIL rejects corrupt payloads with UnidentifiedImageError
+            # (an OSError), not ValueError — fall through to the header
+            # parse, which raises the contractual ValueError if it also
+            # fails.
+            pass
         parsed = _parse_image_header(content)
         if parsed is None:
             raise ValueError("unrecognized image container")
@@ -236,6 +242,10 @@ def decode_real(media_type: str, content: bytes) -> dict:
             return meta
         except ImportError:
             pass
+        except Exception:
+            # libsndfile rejections (LibsndfileError, a RuntimeError)
+            # fall through to the stdlib WAV parser below.
+            pass
         import wave
 
         try:
@@ -247,7 +257,9 @@ def decode_real(media_type: str, content: bytes) -> dict:
                     channels=w.getnchannels(),
                 )
                 return meta
-        except wave.Error as ex:
+        except (wave.Error, EOFError) as ex:
+            # wave raises EOFError (not wave.Error) on payloads shorter
+            # than a RIFF chunk header — both mean "not a WAV".
             raise ValueError(f"unrecognized audio container: {ex}") from ex
     if media_type == "video":
         try:
@@ -267,8 +279,11 @@ def decode_metadata(corpus: DataFrame, decoder=None) -> DataFrame:
     ``decoder(media_type, content) -> dict`` defaults to the
     deterministic ``_fake_decode`` (oracle-checkable). Pass
     ``decode_real`` over genuine media payloads; a payload the decoder
-    rejects (ValueError) yields a null-metadata row instead of failing
-    the task — a 100 TB corpus always contains corrupt files.
+    rejects (ValueError) or a media type it cannot handle in this
+    environment (NotImplementedError — e.g. video without the ``av``
+    package) yields a null-metadata row instead of failing the task — a
+    100 TB corpus always contains corrupt files, and one missing codec
+    must not kill the scan of every other modality.
     """
     decode = decoder if decoder is not None else _fake_decode
 
@@ -278,7 +293,7 @@ def decode_metadata(corpus: DataFrame, decoder=None) -> DataFrame:
             for d, m, c in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
                 try:
                     meta = decode(m, bytes(c))
-                except ValueError:
+                except (ValueError, NotImplementedError):
                     meta = dict(
                         byte_len=len(bytes(c)), width=None, height=None,
                         channels=None, n_frames=None, fps=None,

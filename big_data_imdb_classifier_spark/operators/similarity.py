@@ -264,10 +264,16 @@ def cosine_pairs_blocked(
     e = vectors.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
     )
-    # normalize once: norms computed N times total, not N² times
-    e = e.withColumn(
-        "_u", F.transform("_v", lambda x: x / F.sqrt(dot_col(F.col("_v"), F.col("_v"))))
-    ).drop("_v")
+    # normalize once: norms computed N times total, not N² times. The
+    # norm goes through its own column first — referencing the aggregate
+    # inside the transform lambda would re-evaluate it per ELEMENT
+    # (higher-order-function lambdas get no subexpression elimination),
+    # turning O(dim) normalization into O(dim²).
+    e = (
+        e.withColumn("_n", F.sqrt(dot_col(F.col("_v"), F.col("_v"))))
+        .withColumn("_u", F.transform("_v", lambda x: x / F.col("_n")))
+        .drop("_v", "_n")
+    )
     e = e.withColumn("_blk", (F.col("_id") / F.lit(block_size)).cast("long"))
     blocks = e.groupBy("_blk").agg(
         F.collect_list(F.struct("_id", "_u")).alias("_rows")

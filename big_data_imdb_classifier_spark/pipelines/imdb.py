@@ -110,7 +110,12 @@ def tmdb_nonzero_means(extra: DataFrame) -> dict[str, float]:
     classifier_pipeline.py:232-242 runs one filter+agg+collect per column
     over ``col > 0.0`` rows — zero budget/revenue is TMDB's 'missing').
     Computed once on the extra table and reused for train AND test, the
-    mean_dict contract."""
+    mean_dict contract.
+
+    The ``> 0.0`` predicate is deliberately reference-exact (not the
+    ``!= 0.0`` null-treatment impute_mean uses downstream): TMDB metrics
+    are non-negative, so the two agree on real data, and parity wins on
+    the statistic's definition."""
     row = extra.agg(
         *[F.avg(F.when(F.col(c) > 0.0, F.col(c))).alias(c) for c in TMDB_COLS]
     ).first()

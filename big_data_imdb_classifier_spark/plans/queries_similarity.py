@@ -192,7 +192,13 @@ def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     cols = ["query_id", "neighbor_id"]
-    exact = SIM.knn_exact_cosine(emb, queries, k=TOP_K).select(cols)
+    # k·|queries| rows — checkpoint so the O(Q×N) exact search runs once,
+    # not once per downstream count.
+    exact = (
+        SIM.knn_exact_cosine(emb, queries, k=TOP_K)
+        .select(cols)
+        .localCheckpoint(eager=True)
+    )
     n_exact = exact.count()
 
     def recall(ann: DataFrame) -> float:

@@ -43,20 +43,6 @@ def save_predictions_txt(
     out.write.mode("overwrite").text(path)
 
 
-def upsert_parquet_cache(df: DataFrame, existing: DataFrame | None, key: str) -> DataFrame:
-    """Idempotent keyed-cache upsert (S5, reference data_utils.py:378-413).
-
-    The reference rewrites a driver-side csv.DictWriter cache; here the
-    cache merge is `unionByName + dropDuplicates(key)` — new rows win is
-    not required by the reference (it never re-predicts cached keys), so
-    plain duplicate-drop keeps either copy deterministically after the
-    anti-join upstream guarantees disjoint keys.
-    """
-    if existing is None:
-        return df
-    return existing.unionByName(df).dropDuplicates([key])
-
-
 def write_bucketed(
     df: DataFrame,
     table: str,

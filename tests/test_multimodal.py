@@ -167,6 +167,8 @@ def test_decode_metadata_with_real_decoder_over_real_payloads(spark):
         (1, "image", bytearray(_png_bytes(64, 32, color_type=2))),
         (2, "audio", bytearray(_wav_bytes(rate=8000, n_frames=4000))),
         (3, "image", bytearray(b"corrupt-not-a-png")),
+        (4, "audio", bytearray(b"RIFF")),  # truncated: wave raises EOFError
+        (5, "video", bytearray(b"\x00" * 32)),  # no codec -> NotImplementedError
     ]
     corpus = spark.createDataFrame(
         rows, "doc_id long, media_type string, content binary"
@@ -179,3 +181,8 @@ def test_decode_metadata_with_real_decoder_over_real_payloads(spark):
     assert (got[2].sample_rate, got[2].duration_ms) == (8000, 500)
     assert got[3].width is None and got[3].sample_rate is None
     assert got[3].byte_len == len(b"corrupt-not-a-png")
+    # truncated RIFF (EOFError inside stdlib wave) and a codec-less
+    # modality (NotImplementedError) both degrade to null metadata
+    # instead of failing the task
+    assert got[4].sample_rate is None and got[4].byte_len == 4
+    assert got[5].width is None and got[5].n_frames is None
