@@ -295,12 +295,33 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("text_nfkd_normalize")  # rows-only: NFKD fold is not SQL-expressible
+@query(
+    "text_nfkd_normalize",
+    oracle="""
+    SELECT doc_id,
+      NULLIF(
+        array_to_string(
+          list_transform(string_split(trim(text), ' '),
+                         w -> upper(substr(w, 1, 1)) || substr(w, 2)),
+          ' '),
+        '') AS norm_text
+    FROM documents ORDER BY doc_id
+    """,
+)
 def text_nfkd_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference ``preprocess_text`` contract (NFKD fold → ASCII → punct
     strip → trim → title-case → empty→NULL) as an Arrow pandas_udf
     (reference movie_pipeline/data_utils.py:159-184 runs this driver-side
-    via toPandas)."""
+    via toPandas).
+
+    ORACLE CAVEAT: DuckDB has no NFKD, but over THIS corpus the fold
+    reduces to per-word title-casing — the synthetic documents are pure
+    lowercase ASCII with single spaces and no punctuation (asserted by
+    tests/test_text.py::test_corpus_shape_supports_nfkd_oracle, which
+    names this assumption if the driver's testdata generator ever
+    changes). The unicode/punctuation behavior that the oracle cannot
+    express stays property-tested in tests/test_text.py
+    (idempotence, ASCII closure, accent folding)."""
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", nfkd_fold_col("text").alias("norm_text")

@@ -305,3 +305,37 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # re-running batch 2 is a no-op (its content is now registered)
     s3 = incremental_dedup(spark, b2, store)
     assert s3.count() == 0
+
+
+def test_corpus_shape_supports_nfkd_oracle(spark):
+    """The text_nfkd_normalize oracle reduces NFKD-fold to per-word
+    title-casing, which is exact ONLY while the synthetic corpus is pure
+    lowercase ASCII, single-spaced, punctuation-free. If this test fails,
+    the driver's testdata generator changed shape: flip the query back to
+    rows-only (drop its oracle) rather than chasing a hash mismatch."""
+    import re
+
+    from .conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    bad = (
+        docs.selectExpr(
+            "doc_id",
+            "text rlike '[^a-z0-9 ]' as has_other",
+            "text rlike '  ' as has_double_space",
+            "text rlike '^ | $' as has_edge_space",
+        )
+        .where("has_other or has_double_space or has_edge_space")
+        .count()
+    )
+    assert bad == 0, (
+        "corpus shape changed — text_nfkd_normalize oracle no longer exact"
+    )
+    # and the pure-Python fold agrees with the title-case reduction on a
+    # sample, the exact equivalence the oracle encodes
+    sample = [r.text for r in docs.limit(20).collect()]
+    for t in sample:
+        reduced = " ".join(
+            w[:1].upper() + w[1:] for w in t.strip().split(" ")
+        ) or None
+        assert _fold_one(t) == reduced, t[:50]
