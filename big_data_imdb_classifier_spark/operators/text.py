@@ -261,25 +261,41 @@ def minhash_lsh_near_dup_pairs(
     )
 
 
+def md5_hash60_col(c: Column) -> Column:
+    """60-bit token hash from the top 15 hex digits of md5 — an
+    engine-portable alternative to xxhash64: DuckDB computes the
+    identical value as ``CAST(('0x' || substr(md5(t), 1, 15)) AS
+    BIGINT)``, which is what lets a simhash built on it be
+    oracle-checked. 15 hex digits keep the value under 2^60, inside
+    signed-long range on both engines. Still pure JVM (md5 + conv), just
+    slower than xxhash64 — use for gate-checked paths, keep xxhash64 for
+    the throughput path."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
     out_col: str = "simhash",
+    hash_col=None,
 ) -> DataFrame:
     """SimHash over whitespace tokens using xxhash64 (JVM fast path).
 
-    Each distinct token is hashed ONCE (explode → xxhash64), then each of
+    Each distinct token is hashed ONCE (explode → hash), then each of
     the ``bits`` bit positions contributes ±1 to a per-document counter;
     the sign of each counter becomes one signature bit. One shuffle
-    (groupBy id), 64 map-side-combined sums, zero Python UDFs.
-    xxhash64 differs from DuckDB's hash, so this op is rows-only checked
-    by the driver (pytest asserts the metric properties instead).
+    (groupBy id), ``bits`` map-side-combined sums, zero Python UDFs.
+
+    ``hash_col`` (Column → Column) defaults to ``F.xxhash64``; pass
+    :func:`md5_hash60_col` with ``bits=60`` for the DuckDB-replicable
+    variant the driver gate hash-checks.
     """
+    hasher = hash_col if hash_col is not None else F.xxhash64
     toks = repartition_for_cpu(df, id_col).select(
         id_col, F.explode(F.array_distinct(tokens_col(text_col))).alias("_tok")
-    ).withColumn("_h", F.xxhash64("_tok"))
+    ).withColumn("_h", hasher(F.col("_tok")))
     aggs = [
         F.sum(
             F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
@@ -323,6 +339,8 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 64,
+    hash_col=None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the 64-bit signature into
     ``bands`` equal bit-slices, bucket-join on any equal slice, verify
@@ -335,10 +353,11 @@ def simhash_near_dup_pairs(
     MinHash-LSH banding).
     """
     assert max_hamming < bands, "pigeonhole exactness needs max_hamming < bands"
-    width = 64 // bands
+    assert bits % bands == 0, "bands must evenly slice the signature"
+    width = bits // bands
     mask = (1 << width) - 1
 
-    sig = simhash(df, id_col=id_col, text_col=text_col)
+    sig = simhash(df, id_col=id_col, text_col=text_col, bits=bits, hash_col=hash_col)
     banded = sig.select(
         id_col,
         "simhash",

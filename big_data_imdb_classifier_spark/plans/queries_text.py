@@ -281,13 +281,51 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-@query("simhash_signatures")  # rows-only: xxhash64 has no DuckDB equivalent
+_SIMHASH_ORACLE_SIGS = """
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' ')))
+        AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    bitsums AS (
+      SELECT doc_id, b.b,
+        sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sigs AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+             AS BIGINT) AS simhash
+      FROM bitsums GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "simhash_signatures",
+    oracle=f"""
+    WITH {_SIMHASH_ORACLE_SIGS}
+    SELECT doc_id, simhash FROM sigs ORDER BY doc_id
+    """,
+)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (xxhash64 token hashes, one shuffle,
-    64 map-side-combined sums). Near-dup = small hamming distance;
+    """SimHash per document — one shuffle, per-bit map-side-combined
+    sums, zero Python UDFs. The registered (gate-checked) variant hashes
+    tokens with the engine-portable md5-60-bit hash so DuckDB rebuilds
+    the IDENTICAL signatures bit-for-bit (hash → ±1 per bit position →
+    sign); the xxhash64 fast path stays the operator default and is
     property-tested in tests/test_text.py."""
     docs = _docs(spark, sf_dir)
-    return TX.simhash(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
+    return TX.simhash(
+        docs, id_col="doc_id", text_col="text",
+        bits=60, hash_col=TX.md5_hash60_col,
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -460,14 +498,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-@query("simhash_near_dup_pairs")  # rows-only: xxhash64 has no DuckDB twin
+@query(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_ORACLE_SIGS}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit band bucketing + hamming verify —
-    exact for hamming ≤ 3 by pigeonhole (see operators/text.py).
-    Completeness vs brute force is pytest-gated (tests/test_text.py)."""
+    """SimHash near-dup pairs via 15-bit band bucketing + hamming verify —
+    exact for hamming ≤ 3 by pigeonhole (see operators/text.py). The
+    md5-60-bit token hash makes the signatures engine-portable, so the
+    DuckDB oracle verifies BOTH the signature math and the banding's
+    pigeonhole completeness (its oracle is a brute-force all-pairs
+    hamming join — any pair the banding missed would hash-mismatch).
+    xxhash64 stays the operator default; brute-force completeness of the
+    banding is additionally pytest-gated (tests/test_text.py)."""
     docs = _docs(spark, sf_dir)
     return TX.simhash_near_dup_pairs(
-        docs, id_col="doc_id", text_col="text", max_hamming=3, bands=4
+        docs, id_col="doc_id", text_col="text", max_hamming=3, bands=4,
+        bits=60, hash_col=TX.md5_hash60_col,
     ).orderBy("doc_a", "doc_b")
 
 
