@@ -25,7 +25,11 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WARMUP_SF_DIR = "/root/testdata/sf0.001"
+# Warm-up at sf0.01, not sf0.001: interpreted-mode expression paths
+# (higher-order-function lambdas are outside whole-stage codegen) only
+# reach JIT-compiled tiers after a few thousand rows, and a ~50-row
+# warm-up leaves the first timed run paying the interpreter tax.
+WARMUP_SF_DIR = "/root/testdata/sf0.01"
 
 # Headline set: the most expensive / representative query per capability
 # area. Names must exist in the plans registry; missing ones are skipped

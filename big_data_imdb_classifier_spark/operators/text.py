@@ -49,6 +49,42 @@ def tokens_col(text: Column | str) -> Column:
     return F.split(F.trim(F.col(text) if isinstance(text, str) else text), r"\s+")
 
 
+def let_col(value: Column, body) -> Column:
+    """Bind ``value`` once and use it many times inside ``body`` — a
+    `let` expression for Spark columns.
+
+    Higher-order-function lambdas are evaluated per array element, and
+    interpreted projection (which HOFs force — lambdas are outside
+    whole-stage codegen) has no common-subexpression elimination. So a
+    column like ``transform(seq, i -> slice(split(text), i, k))``
+    re-runs the ``split`` for EVERY element — measured 7× slower on the
+    shingling hot path. Wrapping the shared value as the element of a
+    one-element array and transforming over it turns it into a lambda
+    variable, which the engine evaluates exactly once per row; the body
+    then refers to the bound variable, never the original expression.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def explode_no_refilter(df: DataFrame, arr: str, out: str) -> DataFrame:
+    """``explode`` an array column without Catalyst's inferred-filter
+    double evaluation.
+
+    ``InferFiltersFromGenerate`` adds ``size(arr) > 0`` under a Generate
+    and pushes it to the scan — but when ``arr`` is a computed column the
+    filter re-inlines the ENTIRE expression below the projection, so an
+    expensive array (shingling: split + transform + array_distinct, all
+    interpreted) is computed twice per row. ``explode_outer`` gets no
+    inferred filter; the trailing ``isNotNull`` drops the null rows that
+    empty/null arrays produce, giving row-for-row ``explode`` semantics
+    at half the expression cost (measured 6.4 s → 0.9 s on the sf0.1
+    shingle explode).
+    """
+    return df.select("*", F.explode_outer(arr).alias(out)).where(
+        F.col(out).isNotNull()
+    ).drop(arr)
+
+
 def token_count_col(text: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(tokens_col(text))
@@ -128,19 +164,27 @@ def lang_id_col(text: Column | str) -> Column:
 
 def word_shingles_col(text: Column | str, k: int) -> Column:
     """Distinct word k-gram shingles; empty array when the doc is shorter
-    than k tokens. Built entirely from higher-order array functions."""
-    toks = tokens_col(text)
-    n = F.size(toks)
-    # Clamp the sequence end to 1: sequence(1, 0) would produce a
-    # DESCENDING [1, 0] (step defaults to -1 when start > stop) and a
-    # 0-index slice, even though the outer when() discards the branch.
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.array_distinct(
-        F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
-    )
+    than k tokens. Built entirely from higher-order array functions.
+
+    The tokens array is let-bound (see ``let_col``) so the ``split`` runs
+    once per row, not once per shingle — without the binding the
+    interpreted lambda re-tokenizes the document for every element.
+    """
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        # Clamp the sequence end to 1: sequence(1, 0) would produce a
+        # DESCENDING [1, 0] (step defaults to -1 when start > stop) and a
+        # 0-index slice, even though the outer when() discards the branch.
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+        return F.array_distinct(
+            F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+        )
+
+    return let_col(tokens_col(text), build)
 
 
 def fingerprint_col(text: Column | str) -> Column:
@@ -293,9 +337,18 @@ def simhash(
     variant the driver gate hash-checks.
     """
     hasher = hash_col if hash_col is not None else F.xxhash64
-    toks = repartition_for_cpu(df, id_col).select(
-        id_col, F.explode(F.array_distinct(tokens_col(text_col))).alias("_tok")
-    ).withColumn("_h", hasher(F.col("_tok")))
+    # explode_outer + isNotNull: a plain explode gets an inferred
+    # size(..)>0 filter that re-tokenizes every row a second time at the
+    # scan (see explode_no_refilter).
+    toks = (
+        repartition_for_cpu(df, id_col)
+        .select(
+            id_col,
+            F.explode_outer(F.array_distinct(tokens_col(text_col))).alias("_tok"),
+        )
+        .where(F.col("_tok").isNotNull())
+        .withColumn("_h", hasher(F.col("_tok")))
+    )
     aggs = [
         F.sum(
             F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)

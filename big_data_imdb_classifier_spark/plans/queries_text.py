@@ -476,8 +476,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the xxhash64 of the shingle — 8-byte shuffle rows instead of
     # ~20-byte strings (a 64-bit collision merging two distinct shingles
     # has probability ~|vocab|²/2⁶⁴ ≈ 1e-10 at 100 TB vocab sizes).
+    # explode_outer + isNotNull, not explode: the inferred size(s)>0
+    # filter would re-inline the whole shingle expression at the scan
+    # (see operators/text.py explode_no_refilter).
     inv = (
-        sh.select("doc_id", F.size("s").alias("sz"), F.explode("s").alias("_g"))
+        sh.select("doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("_g"))
+        .where(F.col("_g").isNotNull())
         .select("doc_id", "sz", F.xxhash64("_g").alias("g"))
         .repartition("g")
     )
@@ -573,7 +577,9 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (no global sort materialization)."""
     docs = _docs(spark, sf_dir)
     return (
-        docs.select(F.explode(TX.tokens_col("text")).alias("token"))
+        TX.explode_no_refilter(
+            docs.select(TX.tokens_col("text").alias("toks")), "toks", "token"
+        )
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
@@ -733,8 +739,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency table is vocabulary-sized and broadcast, so the
     corpus shuffles once for TF and once for the per-doc ranking."""
     docs = _docs(spark, sf_dir)
-    tok = docs.select(
-        "doc_id", F.explode(TX.tokens_col("text")).alias("term")
+    tok = TX.explode_no_refilter(
+        docs.select("doc_id", TX.tokens_col("text").alias("toks")), "toks", "term"
     )
     tf = tok.groupBy("doc_id", "term").agg(
         F.count("*").cast("double").alias("tf")
@@ -828,9 +834,11 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", TX.word_shingles_col("text", 3).alias("s")
     )
+    # explode_outer + isNotNull: avoid the inferred-filter double
+    # evaluation of the shingle expression (see explode_no_refilter).
     inv = sh.select(
-        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("g")
-    )
+        "doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("g")
+    ).where(F.col("g").isNotNull())
     dfreq = inv.groupBy("g").agg(F.count("*").alias("_df"))
 
     from pyspark.sql.window import Window
