@@ -63,6 +63,56 @@ def _mh_sql(seed: int) -> str:
     return f"list_min(list_transform(s, x -> md5('{seed}:' || x)))"
 
 
+# MinHash-LSH candidate-pair CTE chain (shingles → 8-hash signature →
+# 4 bands → bucket-join candidates), shared by the pair/cluster oracles.
+_LSH_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+    sig AS (
+      SELECT doc_id, s,
+        {", ".join(f"{_mh_sql(i)} AS mh_{i}" for i in range(8))}
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )"""
+
+# Connected components over the jaccard ≥ 0.5 near-dup graph as a
+# RECURSIVE transitive closure: every node's component label is the
+# smallest doc_id it can reach. This is the exact fixpoint the engine's
+# bounded min-label propagation converges to (diameter ≤ max_iter —
+# driver-gate hash equality proves the bound holds on this corpus).
+_CC_CTES = f"""{_LSH_CTES},
+    strong AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.s, y.s))::DOUBLE
+            / greatest(len(list_distinct(list_concat(x.s, y.s))), 1) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM strong
+      UNION SELECT doc_b, doc_a FROM strong
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS node, least(min(v), u) AS component
+      FROM reach GROUP BY u
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # Text feature extraction
 # ---------------------------------------------------------------------------
@@ -239,24 +289,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
-    sig AS (
-      SELECT doc_id, s,
-        {", ".join(f"{_mh_sql(i)} AS mh_{i}" for i in range(8))}
-      FROM sh
-    ),
-    bands AS (
-      SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
-      UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
-      UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
-      UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    )
+    WITH {_LSH_CTES}
     SELECT c.doc_a, c.doc_b,
       round(len(list_intersect(x.s, y.s))::DOUBLE
             / greatest(len(list_distinct(list_concat(x.s, y.s))), 1),
@@ -649,12 +682,20 @@ def sample_by_hash_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("near_dup_clusters")  # rows-only: iterative algorithm
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT node, component FROM comp ORDER BY node
+    """,
+)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs (jaccard ≥ 0.5) → connected
     components by min-label propagation → (node, component). The final
-    dedup primitive: keep component == node, drop the rest. Convergence
-    and label correctness pytest-gated (tests/test_text.py)."""
+    dedup primitive: keep component == node, drop the rest. The oracle is
+    a recursive-CTE transitive closure (exact min-reachable-id fixpoint),
+    so the driver gate proves the bounded propagation converged; label
+    correctness is additionally pytest-gated (tests/test_text.py)."""
     docs = _docs(spark, sf_dir)
     pairs = TX.minhash_lsh_near_dup_pairs(docs).where(F.col("jaccard") >= 0.5)
     return TX.connected_components_min_label(pairs).orderBy("node")
@@ -906,13 +947,23 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-@query("near_dup_survivors")  # rows-only: built on the iterative clustering
+@query(
+    "near_dup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    ORDER BY doc_id
+    """,
+)
 def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END near-dup dedup: MinHash-LSH pairs (jaccard ≥ 0.5) →
     connected components → drop every non-representative cluster member →
     remaining corpus doc_ids. The composition a 100 TB curation pipeline
     actually runs; exact-dedup survivors (dedup_survivors) handle
-    identical content, this handles the near-identical tail."""
+    identical content, this handles the near-identical tail. Oracle:
+    recursive-CTE connected components (see near_dup_clusters) with the
+    non-representative members anti-joined out."""
     from ..operators.relational import anti_join
 
     docs = _docs(spark, sf_dir)
