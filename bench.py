@@ -59,6 +59,9 @@ HEADLINE = [
     "doc_chunk_sliding",                 # token-window chunk fan-out
     "pack_sequences_contiguous",         # prefix-sum sequence packing
     "event_ffill_gap_fill",              # forward-fill running window
+    "tpch_q3_shipping_priority",         # TPC-H Q3: 3-way join + top-n
+    "tpch_q5_local_supplier_volume",     # TPC-H Q5: 6-table join tree
+    "tpch_q18_large_volume_customers",   # TPC-H Q18: group-filter + joins
 ]
 
 

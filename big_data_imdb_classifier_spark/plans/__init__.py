@@ -15,4 +15,5 @@ def load_all() -> None:
         queries_similarity,
         queries_stats,
         queries_text,
+        queries_tpch,
     )

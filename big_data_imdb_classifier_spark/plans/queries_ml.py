@@ -199,6 +199,50 @@ def ml_scaler_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, mean double, std double")
 
 
+@query(
+    "ml_rf_quality_gate",
+    oracle="""
+    SELECT TRUE AS acc_ge_floor, TRUE AS both_classes_predicted,
+           TRUE AS confusion_sums_to_holdout, TRUE AS importances_sum_to_one,
+           CAST(6 AS BIGINT) AS n_features
+    """,
+)
+def ml_rf_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated ML quality (same pattern as knn_ann_recall_gate):
+    the trained-model outputs themselves are engine-specific (rows-only
+    queries above/below), but their *invariants* are asserted in-query
+    and hash-compared against constant-TRUE oracle columns, so a model
+    regression — accuracy under the 0.8 pytest floor, a degenerate
+    single-class predictor, a confusion matrix that lost rows, or
+    importances that stopped normalizing — fails the driver's hash gate,
+    not just the test suite. All four checks aggregate the one cached
+    hold-out prediction frame; no extra model transforms."""
+    model, _, _, preds = _fitted(spark, sf_dir)
+    row = preds.agg(
+        F.avg((F.col("label") == F.col("prediction")).cast("double")).alias("_acc"),
+        F.count_distinct("prediction").alias("_npred"),
+        F.count(F.lit(1)).alias("_n"),
+    ).first()
+    imps = [imp for _, imp in MLP.feature_importances(model, SPEC)]
+    confusion_total = (
+        preds.groupBy("label", "prediction").count().agg(F.sum("count")).first()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                row["_acc"] >= 0.8,
+                row["_npred"] == 2,
+                confusion_total == row["_n"],
+                abs(sum(imps) - 1.0) < 1e-6,
+                len(SPEC.feature_cols),
+            )
+        ],
+        "acc_ge_floor boolean, both_classes_predicted boolean, "
+        "confusion_sums_to_holdout boolean, importances_sum_to_one boolean, "
+        "n_features long",
+    )
+
+
 @query("ml_rf_confusion_matrix")  # rows-only: depends on the trained model
 def ml_rf_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hold-out confusion matrix (label × prediction counts) — the

@@ -1,0 +1,451 @@
+"""Canonical TPC-H query suite, adapted to the driver testdata schema.
+
+The testdata star schema (TESTDATA.md) is a column-subset of TPC-H —
+no partsupp table, no l_commitdate / l_receiptdate / l_shipmode /
+o_shippriority columns — so each query below is the standard TPC-H
+shape re-targeted at the columns that exist (adaptations noted per
+query). Q1 already ships as ``pricing_summary`` (queries_relational.py).
+
+Why this suite exists: the bespoke registry covers every operator, but
+these are the *benchmark-standard compositions* an OLAP engine is judged
+on — multi-fact join trees, correlated EXISTS, disjunctive scan
+predicates, group-filter (HAVING) pipelines. Scale notes inline; the
+common theme is that only genuinely-bounded dims (region/nation: ≤ 25
+rows at ANY scale factor) get an explicit ``broadcast()``; part /
+customer / supplier grow with SF, so their joins are left to AQE, which
+broadcast-converts them at small SF and sort-merges (with runtime skew
+split) at 100 TB.
+
+Reference parity: the reference engine has no TPC-H suite; this module
+maps to SURVEY.md §2.3/§2.4 (J1-J6, A1-A4) compositions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import ROUND_DIGITS as R
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _disc_price():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q3 — Shipping Priority (o_shippriority column absent; projected out).
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R}) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped high-value BUILDING orders.
+
+    Plan at scale: the c_mktsegment filter prunes customer BEFORE the
+    join (predicate pushdown to the parquet scan); orders⋈customer and
+    lineitem⋈orders are fact joins handled by AQE; the top-10 is a
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    global sort."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_disc_price()), R).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — Order Priority Checking (adapted: no l_commitdate/l_receiptdate;
+# "late" is re-defined as shipped > 60 days after the order date).
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders per priority with at least one late lineitem.
+
+    The correlated EXISTS de-correlates to a LEFT SEMI join whose
+    condition carries the non-equi date predicate alongside the key —
+    Spark evaluates the equi part as the hash-join key and the date
+    comparison as a join residual, so there is no post-join filter
+    materializing matched rows. One semi-join shuffle + one agg
+    shuffle on a 5-value key (map-side partials absorb everything)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — Local Supplier Volume.
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R}) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue shipped by suppliers in the customer's own
+    nation, per ASIA nation.
+
+    Scale shape: region⋈nation collapses to a ≤25-row broadcast filter
+    applied to customer (region predicate pushed through the dim chain
+    BEFORE any fact join); the supplier join carries the
+    s_nationkey = c_nationkey local-supplier condition as part of the
+    join itself, not a post-filter. Fact-to-fact joins stay AQE-managed."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        asia_nations, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("nation")
+        .agg(F.round(F.sum(_disc_price()), R).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — Forecasting Revenue Change.
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), {R}) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue lost if small-quantity discounts were dropped.
+
+    The whole query is a scan-local aggregate: all three predicates push
+    down to the parquet scan (row-group min/max skip the out-of-range
+    ship years entirely), and the single global sum needs only the
+    2-column ReadSchema — the canonical "filter + project reach the
+    scan" probe, asserted by the plan test."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), R).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — Returned Item Reporting (c_address/c_phone/c_comment absent;
+# c_acctbal + nation retained).
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R}) AS revenue,
+           ROUND(c.c_acctbal, {R}) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a quarter.
+
+    nation is the only explicit broadcast; the returnflag filter pushes
+    to the lineitem scan (dictionary-encoded column → row-group skip);
+    top-20 is TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(F.round(F.sum(_disc_price()), R).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", R).alias("acctbal"),
+            "nation",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — Promotion Effect (p_type here is a flat category; 'PROMO' exact
+# match replaces the reference's 'PROMO%' prefix).
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                   / SUM(l.l_extendedprice * (1 - l.l_discount)), {R}
+           ) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: % of one month's revenue from promotional parts.
+
+    part grows with SF (it is NOT hinted broadcast): AQE
+    broadcast-converts it at small SF and sort-merges at 100 TB. The
+    conditional sum folds into one aggregate pass — no separate
+    promo/non-promo scans."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(_disc_price()), R).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — Large Volume Customer.
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, b.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, {R}) AS totalprice,
+           ROUND(b.total_qty, {R}) AS total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice DESC, b.l_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers behind the largest-quantity orders.
+
+    The HAVING pre-aggregation runs FIRST and shrinks lineitem to the
+    ~1% of orders above threshold before any join — the group-filter
+    ordering that makes this query cheap at scale (join inputs are
+    post-aggregation row counts, and the agg itself is map-side-partial
+    on the natural lineitem clustering)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", R).alias("totalprice"),
+            F.round("_tq", R).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "l_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — Discounted Revenue (no l_shipmode/l_shipinstruct/p_container:
+# the three disjunctive arms keep their brand + size + quantity bands).
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), {R}) AS revenue,
+           count(*) AS n_matched
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three disjunctive brand/size/quantity bands.
+
+    The disjunction mixes part-only and lineitem-only sub-predicates:
+    Catalyst extracts the per-side implied filters (p_brand IN (...) AND
+    p_size <= 15; l_quantity BETWEEN 1 AND 30) and pushes them below the
+    join, so both scans shrink before the hash join; the full residual
+    evaluates on join output. That inferred-pushdown is the point of
+    this query at 100 TB — the join sees ~3 brands of part, not all of
+    it."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(arm)
+        .agg(
+            F.round(F.sum(_disc_price()), R).alias("revenue"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )

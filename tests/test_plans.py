@@ -369,3 +369,38 @@ def test_prefix_jaccard_verify_broadcasts_only_candidate_docs(spark):
     # both sides of the verify join (doc_a and doc_b shingles) are
     # reduced to candidate ids before any broadcast
     assert len(re.findall(r"LeftSemi", plan)) >= 2, plan
+
+
+def test_tpch_q6_is_scan_local_aggregate(spark):
+    """Q6's whole WHERE clause must push to the parquet scan and the
+    ReadSchema must shrink to the referenced columns — no joins, no
+    wide read, one aggregate over scan output."""
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[(.+?)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, read_cols
+    assert "Join" not in plan
+
+
+def test_tpch_q19_infers_per_side_pushdown(spark):
+    """Q19's disjunctive predicate must yield inferred per-side filters
+    below the join: the part scan gets a brand/size constraint and the
+    lineitem scan a quantity constraint, so both shrink before joining."""
+    plan = _plan(spark, "tpch_q19_discounted_revenue")
+    part_scan = plan[plan.index("part.parquet"):] if "part.parquet" in plan else plan
+    m = re.findall(r"PushedFilters: \[(.+?)\]", plan)
+    joined = " | ".join(m)
+    assert "p_brand" in joined or "p_size" in joined, joined
+    assert "l_quantity" in joined, joined
+
+
+def test_tpch_q3_top10_is_take_ordered(spark):
+    """Q3's ORDER BY + LIMIT 10 must compile to TakeOrderedAndProject
+    (bounded per-partition heaps), never a global Sort + Limit."""
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
