@@ -1,0 +1,28 @@
+"""Generic query CLI: registry listing + error paths (the `run` execution
+path is exercised end-to-end by bench.py and the driver contract; spinning
+a second JVM here would only re-test get_spark)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_imdb_classifier_spark.cli import main
+
+
+def test_list_filters_by_prefix(capsys):
+    assert main(["list", "tpch"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 8
+    assert all(line.startswith("tpch_") and "[oracle]" in line for line in out)
+
+
+def test_list_all_includes_rows_only_tag(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "[rows-only]" in out and "[oracle]" in out
+
+
+def test_unknown_query_exits_2_with_close_matches(capsys):
+    assert main(["run", "q5_local"]) == 2
+    err = capsys.readouterr().err
+    assert "tpch_q5_local_supplier_volume" in err
