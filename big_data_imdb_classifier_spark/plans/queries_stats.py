@@ -246,14 +246,19 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression fails the driver gate, same pattern as
     approx_distinct_parts. All four aggregates ride one shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    acc = F.lit(10000)
-    ap50 = F.percentile_approx("l_extendedprice", F.lit(0.5), acc)
-    ap95 = F.percentile_approx("l_extendedprice", F.lit(0.95), acc)
-    p50 = F.percentile("l_extendedprice", F.lit(0.5))
-    p95 = F.percentile("l_extendedprice", F.lit(0.95))
+    # Array-form percentile/percentile_approx: ONE value buffer and ONE
+    # GK sketch per group serve both quantiles (two scalar calls would
+    # each build their own — measured ~25-50% slower at sf0.1).
+    ps = F.array(F.lit(0.5), F.lit(0.95))
+    ex = F.percentile("l_extendedprice", ps)
+    ap = F.percentile_approx("l_extendedprice", ps, F.lit(10000))
+    p50, p95 = F.col("_ex")[0], F.col("_ex")[1]
+    ap50, ap95 = F.col("_ap")[0], F.col("_ap")[1]
     return (
         li.groupBy("l_returnflag")
-        .agg(
+        .agg(ex.alias("_ex"), ap.alias("_ap"))
+        .select(
+            "l_returnflag",
             F.round(p50, _R).alias("p50_exact"),
             F.round(p95, _R).alias("p95_exact"),
             (F.abs(ap50 - p50) / p50 <= 0.01).alias("ap50_ok"),
