@@ -315,3 +315,202 @@ def cosine_pairs_blocked(
                     )
 
     return pairs.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes under the IVF coarse quantizer — the
+# memory-scale path (FAISS IndexIVFPQ shape). At 100 TB of embeddings the
+# full float corpus can't be re-read per search; m uint8 codes per vector
+# (dim*4 → m bytes, 32× compression at dim=64/m=8) make the candidate
+# scan a code-table scan, with exact re-ranking only on a per-query
+# shortlist.
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    sample: np.ndarray, m: int = 8, n_codes: int = 16, seed: int = 42,
+    n_iter: int = 12,
+) -> np.ndarray:
+    """Train per-subspace codebooks with seeded Lloyd iterations over a
+    bounded driver-side sample (standard practice: FAISS trains PQ on
+    ~100k sampled vectors regardless of corpus size — training is O(sample),
+    never O(corpus)). Returns (m, n_codes, dim//m) float64."""
+    n, dim = sample.shape
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, d_sub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * d_sub : (j + 1) * d_sub]
+        centers = x[rng.choice(n, size=n_codes, replace=n < n_codes)].copy()
+        for _ in range(n_iter):
+            d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    centers[c] = x[mask].mean(axis=0)
+        books[j] = centers
+    return books
+
+
+def pq_encode_col(codebooks: np.ndarray, vec_col: str = "embedding"):
+    """Arrow-batched encoder: vector → m uint8-range codes (argmin
+    subspace distance). One matmul-shaped numpy pass per batch; the
+    codebooks ride the closure (m*n_codes*d_sub doubles — a few KB)."""
+    m, n_codes, d_sub = codebooks.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # (B, dim)
+        out = np.empty((x.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * d_sub : (j + 1) * d_sub]  # (B, d_sub)
+            d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return encode(F.col(vec_col))
+
+
+def knn_ivf_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    sample_limit: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k: IVF coarse cells bound WHICH
+    vectors are candidates; PQ codes bound what a candidate COSTS.
+
+    Search is the standard two-stage shape: (1) asymmetric-distance
+    scoring — the query stays exact, each candidate is reconstructed
+    from its m codes inside an Arrow batch (numpy gather + one GEMM
+    against the query block) — keeps a per-query shortlist of
+    ``k*refine``; (2) exact cosine re-ranks ONLY the shortlist, so full
+    float vectors are read for k*refine rows per query, never the
+    corpus. Codebooks train on a deterministic bounded sample
+    (``sample_limit``); corpus encoding is one Arrow pass and in
+    production is written once as a column next to the cell id.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # --- coarse quantizer (shared shape with knn_ivf) ---
+    train = vectors.select(
+        F.col(id_col), array_to_vector(as_double(vec_col)).alias("_fv")
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(train)
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    # --- PQ codebooks on a bounded deterministic sample ---
+    sample_rows = (
+        vectors.orderBy(id_col).limit(sample_limit).select(vec_col).collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    books = pq_train_codebooks(sample, m=m, n_codes=n_codes, seed=seed)
+
+    corpus_cells = model.transform(train).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_cell").alias("cell")
+    )
+    codes = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_col(books, vec_col).alias("codes"),
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        q_cells.join(corpus_cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .join(codes, "neighbor_id")
+    )
+
+    # --- stage 1: ADC scoring over codes (query exact, candidate
+    # reconstructed from its codebook entries) ---
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qe")
+    )
+    scored_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("adc_sim", T.DoubleType(), False),
+        ]
+    )
+    flat_books = books.reshape(m * n_codes, -1)  # (m*n_codes, d_sub)
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.vstack(pdf["_qe"].to_numpy()).astype(np.float64)  # (B, dim)
+            cm = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            # reconstruct candidates: gather each subspace's centroid
+            offs = cm + (np.arange(m) * n_codes)[None, :]
+            recon = flat_books[offs].reshape(len(pdf), -1)  # (B, dim)
+            num = (qm * recon).sum(axis=1)
+            den = np.linalg.norm(qm, axis=1) * np.maximum(
+                np.linalg.norm(recon, axis=1), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adc_sim": num / den,
+                }
+            )
+
+    shortlist = (
+        cand.join(F.broadcast(q), "query_id")
+        .mapInPandas(adc, schema=scored_schema)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("adc_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("_r") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- stage 2: exact re-rank of the bounded shortlist ---
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_ce")
+    )
+    sims = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("_qe"), F.col("_ce")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("_sim").alias("sim"))
+    )

@@ -176,14 +176,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_ann_recall_gate",
     oracle=f"""
     SELECT CAST({N_QUERY_VECS} AS BIGINT) AS n_queries,
-           TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+           TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
+           TRUE AS ivfpq_recall_ok
     """,
 )
 def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gated ANN quality: recall@k of both approximate indexes
-    (hyperplane LSH, IVF) against the exact cosine top-k, computed
-    in-query and asserted against their floors (LSH ≥ 0.85, IVF ≥ 0.5 —
-    the same floors tests/test_similarity.py enforces). The ANN result
+    """Driver-gated ANN quality: recall@k of all three approximate
+    indexes (hyperplane LSH, IVF, IVF-PQ) against the exact cosine
+    top-k, computed in-query and asserted against their floors
+    (LSH ≥ 0.85, IVF ≥ 0.5, IVF-PQ ≥ 0.5 — the same floors
+    tests/test_similarity.py enforces). The ANN result
     sets themselves are engine-specific (rows-only queries above); this
     gate makes an index-quality regression fail the hash compare, the
     same pattern as approx_distinct_parts. The recall join is a
@@ -207,9 +209,13 @@ def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lsh = recall(SIM.knn_ann_hyperplane(emb, queries, k=TOP_K))
     ivf = recall(SIM.knn_ivf(emb, queries, k=TOP_K, n_clusters=16, n_probe=4))
+    ivfpq = recall(
+        SIM.knn_ivf_pq(emb, queries, k=TOP_K, n_clusters=16, n_probe=4)
+    )
     return spark.createDataFrame(
-        [(N_QUERY_VECS, lsh >= 0.85, ivf >= 0.5)],
-        "n_queries long, lsh_recall_ok boolean, ivf_recall_ok boolean",
+        [(N_QUERY_VECS, lsh >= 0.85, ivf >= 0.5, ivfpq >= 0.5)],
+        "n_queries long, lsh_recall_ok boolean, ivf_recall_ok boolean, "
+        "ivfpq_recall_ok boolean",
     )
 
 
@@ -221,6 +227,25 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     out = SIM.knn_ivf(emb, queries, k=TOP_K, n_clusters=16, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("sim", ROUND_DIGITS).alias("sim"),
+    ).orderBy("query_id", "rank")
+
+
+@query("knn_ann_ivf_pq")  # rows-only: recall-gated in pytest + recall gate query
+def knn_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate cosine top-k: IVF cells bound the candidate
+    set, 8×16 product-quantized codes (32× compression at dim=64) bound
+    the per-candidate cost, exact cosine re-ranks a k*4 shortlist — the
+    memory-scale ANN path where full float vectors can't be re-read per
+    search. Recall@10 vs the exact baseline asserted in
+    tests/test_similarity.py and in the oracle-pinned recall gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    out = SIM.knn_ivf_pq(emb, queries, k=TOP_K, n_clusters=16, n_probe=4)
     return out.select(
         "query_id",
         "neighbor_id",

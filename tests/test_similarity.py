@@ -98,3 +98,52 @@ def test_ivf_recall_at_10(spark):
     for r in ivf.collect():
         if (r.query_id, r.neighbor_id) in sims_exact:
             assert abs(r.sim - sims_exact[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_ivf_pq_recall_and_exact_rerank(spark):
+    """IVF-PQ: 32x-compressed codes + ADC shortlist + exact re-rank must
+    (a) recover most of the exact top-10 (floor matches plain IVF — the
+    coarse probing, not the quantization, caps recall) and (b) report
+    TRUE cosines on everything it returns (the re-rank stage is exact)."""
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.operators import similarity as SIM
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = SIM.knn_exact_cosine(emb, queries, k=10)
+    pq = SIM.knn_ivf_pq(emb, queries, k=10, n_clusters=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows = pq.collect()
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    # returned sims are exact cosines, not ADC approximations
+    truth = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in SIM.knn_exact_cosine(emb, queries, k=len(rows) + 10).collect()
+    }
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in truth:
+            assert abs(r.sim - truth[key]) < 1e-9
+
+
+def test_pq_codebooks_deterministic_and_shaped():
+    """Codebook training is seeded and shape-stable; encoding maps every
+    vector to m in-range codes."""
+    import numpy as np
+
+    from big_data_imdb_classifier_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    sample = rng.normal(size=(200, 64))
+    b1 = SIM.pq_train_codebooks(sample, m=8, n_codes=16, seed=42)
+    b2 = SIM.pq_train_codebooks(sample, m=8, n_codes=16, seed=42)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    b3 = SIM.pq_train_codebooks(sample, m=8, n_codes=16, seed=43)
+    assert not np.array_equal(b1, b3)
