@@ -10,9 +10,13 @@ from big_data_imdb_classifier_spark.cli import main
 
 
 def test_list_filters_by_prefix(capsys):
+    from big_data_imdb_classifier_spark import plans
+
+    plans.load_all()
+    n_tpch = sum(1 for n in plans.QUERIES if n.startswith("tpch"))
     assert main(["list", "tpch"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
-    assert len(out) == 8
+    assert len(out) == n_tpch
     assert all(line.startswith("tpch_") and "[oracle]" in line for line in out)
 
 
