@@ -62,6 +62,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",         # TPC-H Q3: 3-way join + top-n
     "tpch_q5_local_supplier_volume",     # TPC-H Q5: 6-table join tree
     "tpch_q18_large_volume_customers",   # TPC-H Q18: group-filter + joins
+    "cdc_merge_upsert",                  # CDC MERGE via full-outer join
+    "fuzzy_match_levenshtein",           # blocked edit-distance entity resolution
 ]
 
 

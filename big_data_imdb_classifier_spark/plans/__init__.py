@@ -7,6 +7,7 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from . import (  # noqa: F401
+        queries_cdc,
         queries_curation,
         queries_enrichment,
         queries_events,

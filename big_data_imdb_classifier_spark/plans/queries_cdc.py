@@ -1,0 +1,254 @@
+"""Incremental-ingestion queries: CDC merge, SCD2 history, fuzzy entity
+resolution.
+
+The reference pipeline re-reads full snapshots every run
+(classifier_pipeline.py end-to-end); a standing 100 TB corpus instead
+ingests change batches. These queries exercise the canonical incremental
+shapes over the testdata, each against a DuckDB oracle:
+
+* ``cdc_merge_upsert`` — ANSI MERGE (update/insert/delete) via one
+  full-outer join (operators/cdc.py:merge_upsert). The change batch is
+  derived deterministically from ``orders`` (no RNG — driver hash gate).
+* ``cdc_scd2_priority_history`` — SCD2 historization of each customer's
+  order-priority change stream (operators/cdc.py:scd2_collapse);
+  gaps-and-islands, all window passes sharing ONE hash exchange.
+* ``fuzzy_match_levenshtein`` — entity resolution: deterministically
+  corrupted part names matched back to the catalog via a BLOCKED
+  edit-distance join (equi-join on a blocking key, never all-pairs —
+  the same candidate-generation discipline as the MinHash/SimHash
+  suites).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.cdc import merge_upsert, scd2_collapse
+from ..sources.readers import load_table
+from .registry import query
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    chg AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 9 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'I'
+                  WHEN o_orderkey % 9 = 0 THEN 'U'
+                  ELSE 'D' END AS op
+      FROM orders
+      WHERE o_orderkey % 10 = 0 OR o_orderkey % 9 = 0 OR o_orderkey % 17 = 0
+    )
+    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END
+             AS o_custkey,
+           CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice
+    FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE over a deterministic CDC batch.
+
+    Base = yesterday's snapshot (orders with ``key % 10 <> 0``); the
+    change batch inserts the missing tenth (op I), doubles the price of
+    the ``% 9`` rows (op U), and tombstones the remaining ``% 17`` rows
+    (op D). One full-outer hash join resolves all three cases
+    (operators/cdc.py:merge_upsert). Prices are scaled by exactly 2 so
+    both engines compute bit-identical doubles — no rounding seam.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    k = F.col("o_orderkey")
+    changes = o.filter((k % 10 == 0) | (k % 9 == 0) | (k % 17 == 0)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when((k % 10 != 0) & (k % 9 == 0), F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(k % 10 == 0, F.lit("I"))
+        .when(k % 9 == 0, F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+    )
+    return merge_upsert(base, changes, keys=["o_orderkey"]).orderBy(
+        "o_orderkey"
+    )
+
+
+@query(
+    "cdc_scd2_priority_history",
+    oracle=f"""
+    WITH marked AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderpriority) OVER w
+                       IS NOT DISTINCT FROM o_orderpriority
+                  THEN 0 ELSE 1 END AS new_run
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             SUM(new_run) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    collapsed AS (
+      SELECT o_custkey, run_id, o_orderpriority,
+             min(o_orderdate) AS vf, count(*)::BIGINT AS n_rows
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey, o_orderpriority,
+           strftime(vf, '{_FMT_DUCK}') AS valid_from,
+           strftime(lead(vf) OVER c, '{_FMT_DUCK}') AS valid_to,
+           lead(vf) OVER c IS NULL AS is_current,
+           n_rows
+    FROM collapsed
+    WINDOW c AS (PARTITION BY o_custkey ORDER BY run_id)
+    ORDER BY o_custkey, run_id
+    """,
+)
+def cdc_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each customer's order-priority stream: consecutive
+    same-priority orders collapse into one validity interval; ``valid_to``
+    is the next interval's start (null → current). Single shuffle on
+    ``o_custkey`` shared by every window pass (operators/cdc.py:
+    scd2_collapse)."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = scd2_collapse(
+        o,
+        key="o_custkey",
+        attr="o_orderpriority",
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+        ts_col="valid_from",
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_format("valid_from", _FMT).alias("valid_from"),
+        F.date_format("valid_to", _FMT).alias("valid_to"),
+        "is_current",
+        "n_rows",
+    ).orderBy("o_custkey", "valid_from", "o_orderpriority")
+
+
+@query(
+    "fuzzy_match_levenshtein",
+    oracle="""
+    WITH clean AS (
+      SELECT p_partkey, p_name, substr(p_name, 1, 2) AS blk,
+             length(p_name) AS len FROM part
+    ),
+    dirty AS (
+      SELECT p_partkey AS dirty_key,
+             concat(substr(p_name, 1, 3 + p_partkey % (length(p_name) - 2) - 1),
+                    substr(p_name, 3 + p_partkey % (length(p_name) - 2) + 1))
+               AS dirty_name,
+             substr(p_name, 1, 2) AS blk
+      FROM part
+    ),
+    cand AS (
+      SELECT d.dirty_key, d.dirty_name, c.p_partkey, c.p_name,
+             levenshtein(d.dirty_name, c.p_name) AS dist
+      FROM dirty d JOIN clean c ON d.blk = c.blk
+      WHERE abs(length(d.dirty_name) - c.len) <= 1
+        AND levenshtein(d.dirty_name, c.p_name) <= 2
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY dirty_key
+                                   ORDER BY dist, p_partkey) AS rn
+      FROM cand
+    )
+    SELECT dirty_key, dirty_name, p_partkey AS match_key,
+           p_name AS match_name, dist,
+           dirty_key = p_partkey AS matched_self
+    FROM best WHERE rn = 1 ORDER BY dirty_key
+    """,
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance, candidate-generated by a
+    BLOCKING key — never all-pairs.
+
+    Each part name is corrupted deterministically (one character dropped
+    at position ``3 + p_partkey % (len-2)``, so the 2-char blocking
+    prefix survives); the matcher re-links the dirty names to the
+    catalog: equi-join on the blocking prefix, cheap length-band residual
+    BEFORE the levenshtein conjunct (codegen short-circuits the
+    conjunction, so the O(len²) distance runs only on length-plausible
+    candidates), best match per dirty row by (distance, key).
+
+    Scale shape: the blocked join is a plain hash equi-join — candidate
+    volume is Σ_block |dirty_b|×|clean_b|, governed by blocking-key
+    selectivity, not N². Hot blocks are ordinary skewed join keys (AQE
+    skew split / salting apply); this is the same discipline as the
+    LSH band-bucket joins in operators/text.py.
+    """
+    p = load_table(spark, sf_dir, "part")
+    clean = p.select(
+        "p_partkey",
+        "p_name",
+        F.substring("p_name", 1, 2).alias("blk"),
+        F.length("p_name").alias("len"),
+    )
+    pos = (F.lit(3) + F.col("p_partkey") % (F.length("p_name") - 2)).alias(
+        "pos"
+    )
+    dirty = (
+        p.select("p_partkey", "p_name", pos)
+        .select(
+            F.col("p_partkey").alias("dirty_key"),
+            F.concat(
+                F.expr("substring(p_name, 1, pos - 1)"),
+                F.expr("substring(p_name, pos + 1, length(p_name))"),
+            ).alias("dirty_name"),
+            F.substring("p_name", 1, 2).alias("blk"),
+        )
+    )
+    cand = (
+        dirty.join(clean, on="blk")
+        .filter(
+            (
+                F.abs(F.length("dirty_name") - F.col("len")) <= 1
+            )
+            & (F.levenshtein("dirty_name", "p_name") <= 2)
+        )
+        .select(
+            "dirty_key",
+            "dirty_name",
+            "p_partkey",
+            "p_name",
+            F.levenshtein("dirty_name", "p_name").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("dirty_key").orderBy("dist", "p_partkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_key",
+            "dirty_name",
+            F.col("p_partkey").alias("match_key"),
+            F.col("p_name").alias("match_name"),
+            "dist",
+            (F.col("dirty_key") == F.col("p_partkey")).alias("matched_self"),
+        )
+        .orderBy("dirty_key")
+    )

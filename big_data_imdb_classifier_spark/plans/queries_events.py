@@ -451,3 +451,70 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("frequent_profile"),
     ).orderBy("user_id")
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS users_total,
+           (SELECT count(*) FROM v)::BIGINT AS users_viewed,
+           (SELECT count(*) FROM c)::BIGINT AS users_clicked_after_view,
+           (SELECT count(*) FROM p)::BIGINT AS users_purchased_after_click
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user advances
+    a stage only with an event STRICTLY AFTER their previous stage's first
+    event (the product-analytics "funnel" operator; windowed variants are
+    the same shape with a time-bound residual, cf. range_join_count).
+
+    Three stage aggregations, each a groupBy(user) over a stage-filtered
+    slice joined back on user_id; every join and aggregation hashes on
+    the same user_id key, so AQE plans them as one co-partitioned chain
+    (no broadcast of the big side; stage frames shrink monotonically).
+    The final single-row summary crosses the tiny stage counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    totals = ev.agg(
+        F.countDistinct("user_id").alias("users_total")
+    )
+    return (
+        totals.crossJoin(v.agg(F.count("*").alias("users_viewed")))
+        .crossJoin(c.agg(F.count("*").alias("users_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("users_purchased_after_click")))
+    )

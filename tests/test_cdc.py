@@ -1,0 +1,127 @@
+"""CDC operator tests: MERGE semantics on hand-built fixtures, SCD2
+interval invariants, and a property-based differential check of
+merge_upsert against a driver-side dict replay of the same change log."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_imdb_classifier_spark.operators.cdc import (
+    merge_upsert,
+    scd2_collapse,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestMergeUpsert:
+    def test_update_insert_delete(self, spark):
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        changes = spark.createDataFrame(
+            [(2, "B", "U"), (4, "d", "I"), (3, None, "D")],
+            "k long, v string, op string",
+        )
+        out = merge_upsert(base, changes, keys=["k"])
+        assert _rows(out) == {(1, "a"), (2, "B"), (4, "d")}
+
+    def test_delete_without_match_is_noop(self, spark):
+        base = spark.createDataFrame([(1, "a")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(9, None, "D")], "k long, v string, op string"
+        )
+        assert _rows(merge_upsert(base, changes, keys=["k"])) == {(1, "a")}
+
+    def test_null_key_matches_null_safe(self, spark):
+        base = spark.createDataFrame([(None, "a")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(None, "A", "U")], "k long, v string, op string"
+        )
+        assert _rows(merge_upsert(base, changes, keys=["k"])) == {(None, "A")}
+
+    @given(
+        base=st.dictionaries(
+            st.integers(0, 6), st.integers(0, 99), max_size=7
+        ),
+        log=st.lists(
+            st.tuples(
+                st.integers(0, 6),
+                st.integers(0, 99),
+                st.sampled_from(["U", "I", "D"]),
+            ),
+            max_size=7,
+            unique_by=lambda t: t[0],  # one change per key, like a CDC batch
+        ),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_dict_replay(self, spark, base, log):
+        expect = dict(base)
+        for k, v, op in log:
+            if op == "D":
+                expect.pop(k, None)
+            else:  # MERGE upserts regardless of the U/I label
+                expect[k] = v
+        base_df = spark.createDataFrame(
+            list(base.items()) or [(None, None)], "k long, v long"
+        )
+        if not base:
+            base_df = base_df.where(F.lit(False))
+        chg_df = spark.createDataFrame(
+            log or [(None, None, None)], "k long, v long, op string"
+        )
+        if not log:
+            chg_df = chg_df.where(F.lit(False))
+        out = merge_upsert(base_df, chg_df, keys=["k"])
+        assert _rows(out) == set(expect.items())
+
+
+class TestScd2Collapse:
+    def _history(self, spark):
+        rows = [
+            # key, seq, attr  — runs: x(1-2), y(3), x(4-5)
+            (1, 1, "x"),
+            (1, 2, "x"),
+            (1, 3, "y"),
+            (1, 4, "x"),
+            (1, 5, "x"),
+            (2, 1, "z"),
+        ]
+        df = spark.createDataFrame(rows, "k long, seq long, a string")
+        df = df.withColumn("ts", F.timestamp_seconds("seq"))
+        return scd2_collapse(
+            df, key="k", attr="a", order_by=[F.col("ts"), F.col("seq")]
+        )
+
+    def test_runs_collapse_and_intervals_chain(self, spark):
+        hist = self._history(spark).withColumn(
+            "vf", F.col("valid_from").cast("long")
+        ).withColumn("vt", F.col("valid_to").cast("long"))
+        got = {
+            (r.k, r.a, r.vf, r.vt, r.is_current, r.n_rows)
+            for r in hist.collect()
+        }
+        assert got == {
+            (1, "x", 1, 3, False, 2),
+            (1, "y", 3, 4, False, 1),
+            (1, "x", 4, None, True, 2),
+            (2, "z", 1, None, True, 1),
+        }
+
+    def test_exactly_one_current_per_key(self, spark):
+        hist = self._history(spark)
+        per_key = (
+            hist.groupBy("k")
+            .agg(F.sum(F.col("is_current").cast("int")).alias("n_current"))
+            .collect()
+        )
+        assert all(r.n_current == 1 for r in per_key)
+
+    def test_single_shuffle_plan(self, spark):
+        """All window passes + the agg share one hash exchange on the key."""
+        plan = self._history(spark)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
