@@ -252,3 +252,91 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dirty_key")
     )
+
+
+@query(
+    "cdc_incremental_agg_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    chg AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 9 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'I'
+                  WHEN o_orderkey % 9 = 0 THEN 'U'
+                  ELSE 'D' END AS op
+      FROM orders
+      WHERE o_orderkey % 10 = 0 OR o_orderkey % 9 = 0 OR o_orderkey % 17 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END
+               AS o_custkey,
+             CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT o_custkey, count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM merged GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: per-customer
+    (order count, total spend) kept current under the SAME change batch
+    as ``cdc_merge_upsert`` — WITHOUT rescanning the base table's rows.
+
+    Each change contributes a signed delta — insert (+1, +price),
+    update (0, new − old = +old price here, since updates double),
+    delete (−1, −price) — and the standing aggregate absorbs the deltas
+    with one groupBy over ``old aggregate ∪ deltas``. The oracle
+    recomputes the aggregate from the fully merged snapshot, so the
+    hash-match PROVES maintained == recomputed. At 100 TB this is the
+    difference between shuffling a CDC batch and rescanning the fact
+    table; count-zero groups are retired exactly as a real
+    view-maintenance engine retires them.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base_agg = (
+        o.filter(k % 10 != 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum("o_totalprice").alias("dv"),
+        )
+    )
+    is_ins = k % 10 == 0
+    is_upd = (k % 10 != 0) & (k % 9 == 0)
+    deltas = (
+        o.filter(is_ins | is_upd | (k % 17 == 0))
+        .select(
+            "o_custkey",
+            F.when(is_ins, F.lit(1))
+            .when(is_upd, F.lit(0))
+            .otherwise(F.lit(-1))
+            .alias("dn"),
+            F.when(is_ins, F.col("o_totalprice"))
+            .when(is_upd, F.col("o_totalprice"))  # new(2p) - old(p) = +p
+            .otherwise(-F.col("o_totalprice"))
+            .alias("dv"),
+        )
+    )
+    return (
+        base_agg.unionByName(deltas)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dv").alias("_v"))
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("_v", 2).alias("total_spend"),
+        )
+        .orderBy("o_custkey")
+    )

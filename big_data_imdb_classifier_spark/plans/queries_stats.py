@@ -266,3 +266,75 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "sketch_rollup_daily_users",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '{{fmt}}') AS day,
+             count(DISTINCT user_id)::BIGINT AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT day, exact_users, TRUE AS day_est_ok, TRUE AS merge_ok
+    FROM daily
+    UNION ALL
+    SELECT 'ALL' AS day,
+           (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS exact_users,
+           TRUE AS day_est_ok, TRUE AS merge_ok
+    ORDER BY day
+    """.replace("{fmt}", "%Y-%m-%d %H:%M:%S"),
+)
+def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: build
+    one DataSketches HLL per day (``hll_sketch_agg``), then answer the
+    over-all-days question by UNIONING the daily sketches
+    (``hll_union_agg``) instead of rescanning raw events. At scale the
+    daily sketch table is bytes per day; any date-range cardinality is a
+    sketch-union over it.
+
+    Sketch binaries differ across engines, so the oracle pins the EXACT
+    per-day distinct counts (hash-matched) plus two in-query invariants:
+    every per-day estimate within 5% of its exact count (``day_est_ok``),
+    and the unioned all-days estimate within 5% of the true overall
+    count AND bit-identical to the single-shot whole-table sketch
+    (``merge_ok`` — the merge-consistency property that makes the
+    pre-aggregation valid). A sketch regression flips a boolean and
+    fails the driver hash gate."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    per_day = daily.select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("day_est_ok"),
+        F.lit(True).alias("merge_ok"),
+    )
+    # Whole-table truth: exact count, single-shot sketch, and the union
+    # of the daily sketches — all in one pass over the tiny daily frame
+    # plus one exact aggregate over events.
+    overall = ev.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_direct"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_merged")
+    )
+    all_row = overall.crossJoin(merged).select(
+        F.lit("ALL").alias("day"),
+        "exact_users",
+        (
+            F.abs(F.col("_merged") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("day_est_ok"),
+        (F.col("_merged") == F.col("_direct")).alias("merge_ok"),
+    )
+    return per_day.unionAll(all_row).orderBy("day")
