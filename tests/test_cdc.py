@@ -125,3 +125,19 @@ class TestScd2Collapse:
         """All window passes + the agg share one hash exchange on the key."""
         plan = self._history(spark)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_upsert_composite_key(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30)], "k1 long, k2 string, v long"
+    )
+    changes = spark.createDataFrame(
+        [(1, "a", 11, "U"), (2, "b", 40, "I"), (2, "a", None, "D")],
+        "k1 long, k2 string, v long, op string",
+    )
+    out = merge_upsert(base, changes, keys=["k1", "k2"])
+    assert {tuple(r) for r in out.collect()} == {
+        (1, "a", 11),
+        (1, "b", 20),
+        (2, "b", 40),
+    }

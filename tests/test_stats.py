@@ -50,3 +50,30 @@ def test_approx_percentile_within_tolerance(spark):
         assert row["ap50_ok"] is True and row["ap95_ok"] is True, (flag,)
         assert abs(row["p50_exact"] - round(e50, 4)) < 1e-9
         assert abs(row["p95_exact"] - round(e95, 4)) < 1e-9
+
+
+def test_hll_sketch_survives_parquet_roundtrip(spark, tmp_path):
+    """The two-job sketch-rollup pattern: job 1 writes per-day HLL
+    sketches to parquet (binary column); job 2 reads them back and
+    answers the all-days distinct count by sketch union — byte-identical
+    to unioning the in-memory sketches, within 5% of the exact count."""
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    path = str(tmp_path / "daily_sketches")
+    daily.write.parquet(path)
+    reread = spark.read.parquet(path)
+    est = reread.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    exact = ev.agg(F.count_distinct("user_id").alias("n")).collect()[0]["n"]
+    direct = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    assert est == direct                      # parquet round-trip is lossless
+    assert abs(est - exact) / exact <= 0.05   # documented HLL accuracy
