@@ -164,44 +164,76 @@ def asof_join(
     carry: Sequence[str],
     strict: bool = True,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
-    """As-of join: attach to each left row the LATEST right row with
-    ``right.ts < left.ts`` (``<=`` when strict=False), matched on
+    """As-of join (full pandas ``merge_asof`` semantics): attach to each
+    left row the nearest right row on the ``direction`` side, matched on
     ``keys`` — an operator Spark lacks natively.
 
+    * ``direction='backward'``: LATEST right row with ``right.ts < left.ts``
+      (``<=`` when strict=False).
+    * ``direction='forward'``: EARLIEST right row with ``right.ts > left.ts``
+      (``>=`` when strict=False).
+    * ``tolerance_sec``: matches farther than this many seconds from the
+      left timestamp yield null (no closer match can exist, because the
+      carried match is already the nearest one).
+
+    Among right rows tied on timestamp the largest carry payload wins —
+    an explicit deterministic total order (SURVEY §7.5: the reference
+    breaks ties by arbitrary row order).
+
     Implemented as the union+window rewrite, not a range join: tag both
-    sides, sort within each key group by (ts, side) and carry the right
-    side's payload forward with ``last_value(ignorenulls)``. ONE shuffle
-    on the keys, state bounded by one row of carry columns — this is the
-    shape that survives 100 TB, where an interval/range join would
-    explode to |left|×|right-per-key| comparisons. Strictness is encoded
-    purely in the sort order of ties (left-before-right for ``<``,
-    right-before-left for ``<=``).
+    sides, sort within each key group by (ts, side) — descending for
+    forward, so "carry the last right row seen" always means "nearest on
+    the match side" — and propagate the right payload with
+    ``last_value(ignorenulls)``. ONE shuffle on the keys, state bounded
+    by one row of carry columns — the shape that survives 100 TB, where
+    an interval/range join would explode to |left|×|right-per-key|
+    comparisons. Strictness is encoded purely in the sort order of ties
+    (left-before-right for strict, right-before-left otherwise — in both
+    directions, because the tie rule "equal ts must not match" is
+    direction-symmetric).
     """
-    r_payload = [f"_r_{c}" for c in carry]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    carry_in = list(carry) + [ts_col]  # right ts rides along for tolerance
+    r_payload = [f"_r_{c}" for c in carry_in]
     lt = left.withColumn("_is_r", F.lit(0))
     rt = (
         right.select(
-            *keys, ts_col, *[F.col(c).alias(f"_r_{c}") for c in carry]
+            *keys, ts_col, *[F.col(c).alias(f"_r_{c}") for c in carry_in]
         )
         .withColumn("_is_r", F.lit(1))
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
 
+    ts_order = F.asc(ts_col) if direction == "backward" else F.desc(ts_col)
     side_order = F.asc("_is_r") if strict else F.desc("_is_r")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.asc(ts_col), side_order, *[F.asc(c) for c in r_payload])
+        .orderBy(ts_order, side_order, *[F.asc(f"_r_{c}") for c in carry])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carry:
+    for c in carry_in:
         u = u.withColumn(
             f"{c}{suffix}", F.last(f"_r_{c}", ignorenulls=True).over(w)
         )
-    return (
-        u.where(F.col("_is_r") == 0)
-        .drop("_is_r", *r_payload)
-    )
+    out = u.where(F.col("_is_r") == 0).drop("_is_r", *r_payload)
+    matched_ts = f"{ts_col}{suffix}"
+    if tolerance_sec is not None:
+        gap = (
+            epoch_seconds(ts_col) - epoch_seconds(matched_ts)
+            if direction == "backward"
+            else epoch_seconds(matched_ts) - epoch_seconds(ts_col)
+        )
+        keep = gap <= F.lit(tolerance_sec)
+        for c in carry:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(keep, F.col(f"{c}{suffix}")),
+            )
+    return out.drop(matched_ts)
 
 
 def range_join_count(

@@ -518,3 +518,61 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("users_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("users_purchased_after_click")))
     )
+
+
+@query(
+    "event_asof_next_purchase_1h",
+    oracle=f"""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT c.event_id, p.ts AS pts, p.value,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts, p.value DESC) AS rn
+      FROM clicks c JOIN purchases p
+        ON p.user_id = c.user_id AND p.ts > c.ts
+       AND epoch(p.ts) - epoch(c.ts) <= 3600
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '{{fmt}}') AS click_ts,
+           round(m.value, 4) AS next_purchase_value
+    FROM clicks c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) m
+      ON m.event_id = c.event_id
+    ORDER BY c.event_id
+    """.replace("{fmt}", _FMT_DUCK),
+)
+def event_asof_next_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each click matched to the same
+    user's nearest FOLLOWING purchase, nulled when it is more than one
+    hour out — "did this click convert, and for how much?". Exercises
+    the merge_asof-complete operator surface (direction='forward',
+    tolerance_sec) on the union+window rewrite: still ONE shuffle on
+    user_id, unlike the oracle's per-key range join whose candidate set
+    explodes at scale. Ties on purchase timestamp resolve to the largest
+    value (the operator's documented deterministic order, mirrored by
+    the oracle's ``ORDER BY p.ts, p.value DESC``)."""
+    from ..operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        ts_col="ts",
+        carry=["value"],
+        strict=True,
+        direction="forward",
+        tolerance_sec=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT).alias("click_ts"),
+        F.round("value_asof", 4).alias("next_purchase_value"),
+    ).orderBy("event_id")

@@ -1,0 +1,93 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic-events generator.
+
+The testdata parquet fixes the benchmark scale; for scale experiments
+beyond what is on disk (shuffle sizing, skew rehearsal, soak tests) the
+engine needs a storage-free source that fabricates the same ``events``
+shape at any row count. This implements Spark 4's Python DataSource API
+(``spark.dataSource.register`` → ``spark.read.format("synthetic_events")``):
+the driver plans N ``InputPartition``s and each executor materializes its
+row range independently — no driver-side generation, no storage, linear
+scale-out.
+
+Determinism is load-bearing (tests diff two reads byte-for-byte): every
+field derives from a splitmix64 hash of (seed, row_id), a pure function —
+no RNG object whose state would depend on partition scheduling.
+
+Reference parity note: the reference generates nothing (it reads fixed
+CSV/JSON inputs); this source exists for the 100 TB extension brief and
+mirrors the `events` table schema from TESTDATA.md.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_MASK = (1 << 64) - 1
+
+EVENT_TYPES: Sequence[str] = ("view", "click", "purchase", "signup", "error")
+
+_EPOCH = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def splitmix64(x: int) -> int:
+    """SplitMix64 finalizer: a pure 64-bit mix (public-domain algorithm,
+    same constants as java.util.SplittableRandom)."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return (x ^ (x >> 31)) & _MASK
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events")`` batch source.
+
+    Options: ``rows`` (total, default 1000), ``partitions`` (default 8),
+    ``seed`` (default 0), ``users`` (key cardinality, default 100).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(self.options)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("partitions", 8))
+        self.seed = int(options.get("seed", 0))
+        self.users = int(options.get("users", 100))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # Even row-range split; each partition is self-describing so the
+        # executor-side read() needs no driver state beyond the options.
+        return [InputPartition(i) for i in range(self.num_partitions)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        i = partition.value
+        lo = self.rows * i // self.num_partitions
+        hi = self.rows * (i + 1) // self.num_partitions
+        for rid in range(lo, hi):
+            h = splitmix64(rid ^ (self.seed * 0x9E3779B97F4A7C15 & _MASK))
+            ts = _EPOCH + _dt.timedelta(seconds=h % (30 * 86400))
+            user = (h >> 24) % self.users
+            etype = EVENT_TYPES[(h >> 8) % len(EVENT_TYPES)]
+            value = round(((h >> 16) % 100000) / 100.0, 2)
+            yield (rid, ts, user, etype, value)
+
+
+def register(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(SyntheticEventsDataSource)

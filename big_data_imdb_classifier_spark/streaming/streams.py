@@ -357,3 +357,20 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_stream_with_static_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table.
+
+    The static side is re-planned per micro-batch (so a dim refresh is
+    picked up without restarting the query) and explicitly broadcast —
+    the streaming side never shuffles, which is the property that makes
+    per-event enrichment viable at full ingest rate. Stream-static joins
+    are stateless (no watermark needed on the dim side), unlike the
+    stream-stream range join above."""
+    return stream.join(F.broadcast(dim), on=key, how=how)

@@ -79,3 +79,58 @@ def test_range_join_count_matches_bruteforce(spark, left, right, lookback):
             1 for rk, rt, _ in right if rk == k and t - lookback < rt < t
         )
         assert got[(k, t, v)] == want, (k, t, lookback)
+
+
+@given(left=rows_strategy, right=rows_strategy,
+       tolerance=st.sampled_from([None, 2, 5]))
+@settings(max_examples=12, deadline=None)
+def test_asof_join_forward_and_tolerance_match_bruteforce(
+    spark, left, right, tolerance
+):
+    """merge_asof parity: forward direction and tolerance, both strict
+    and non-strict, against an exhaustive per-row reference. Tie rule:
+    among equal right timestamps the largest payload wins (the
+    operator's documented deterministic total order)."""
+    ldf = _frame(spark, left, "lv")
+    rdf = _frame(spark, right, "rv")
+    for direction in ("backward", "forward"):
+        for strict in (True, False):
+            got = {
+                (r.k, r.t, r.lv): r.rv_asof
+                for r in asof_join(
+                    ldf, rdf, keys=["k"], ts_col="ts", carry=["rv"],
+                    strict=strict, direction=direction,
+                    tolerance_sec=tolerance,
+                ).collect()
+            }
+            assert len(got) == len(set(left))
+            for k, t, v in set(left):
+                if direction == "backward":
+                    cands = [
+                        (rt, rv) for rk, rt, rv in right
+                        if rk == k and (rt < t if strict else rt <= t)
+                    ]
+                    best = max(cands) if cands else None
+                    in_tol = best and (
+                        tolerance is None or t - best[0] <= tolerance
+                    )
+                else:
+                    cands = [
+                        (rt, rv) for rk, rt, rv in right
+                        if rk == k and (rt > t if strict else rt >= t)
+                    ]
+                    # nearest-forward ts; among ties largest payload
+                    best = (
+                        max(
+                            (c for c in cands if c[0] == min(x[0] for x in cands)),
+                        )
+                        if cands
+                        else None
+                    )
+                    in_tol = best and (
+                        tolerance is None or best[0] - t <= tolerance
+                    )
+                want = best[1] if (best and in_tol) else None
+                assert got[(k, t, v)] == want, (
+                    k, t, direction, strict, tolerance, cands,
+                )

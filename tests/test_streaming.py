@@ -291,3 +291,26 @@ def test_tws_running_totals_matches_batch_or_skips(spark):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_stream_static_dim_join_matches_batch(spark):
+    """Stream-static broadcast enrichment: one availableNow pass over the
+    events stream joined to the customer dim must equal the batch join."""
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = ST.enrich_stream_with_static_dim(
+        ST.load_events_stream(spark, SF_SMOKE), dim, key="user_id"
+    ).groupBy("c_nationkey").count()
+    got = ST.run_to_memory(
+        spark, enriched, "t_stream_static", output_mode="complete"
+    )
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .join(dim, "user_id", "left")
+        .groupBy("c_nationkey")
+        .count()
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
