@@ -576,3 +576,50 @@ def event_asof_next_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _FMT).alias("click_ts"),
         F.round("value_asof", 4).alias("next_purchase_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "event_props_variant",
+    oracle=f"""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+             AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                 {ROUND_DIGITS}) AS avg_k,
+           count(*) FILTER (json_extract_string(props, '$.k') IS NULL)::BIGINT
+             AS n_missing_k,
+           TRUE AS schema_uniform
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VariantType: one
+    ``try_parse_json`` pass builds the binary variant encoding, typed
+    fields come out via ``try_variant_get`` path expressions, and
+    ``schema_of_variant`` powers an in-query drift check
+    (``schema_uniform`` — more than one observed schema flips the
+    boolean and fails the driver hash gate, the sketch-gate pattern).
+
+    Versus string-path extraction (event_props_json): the variant is
+    parsed ONCE per row and every field access is a binary offset read,
+    which is the 100 TB answer when queries touch many fields of the
+    same payload — and variant columns can be stored parsed (parquet
+    variant shredding) so the parse disappears from the scan entirely.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    row = ev.select(
+        "event_type",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.schema_of_variant(v).alias("vschema"),
+    )
+    return (
+        row.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), ROUND_DIGITS).alias("avg_k"),
+            F.count_if(F.col("k").isNull()).alias("n_missing_k"),
+            (F.count_distinct("vschema") <= 1).alias("schema_uniform"),
+        )
+        .orderBy("event_type")
+    )

@@ -1122,6 +1122,14 @@ def udtf_token_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     generators with carried state)."""
     from pyspark.sql.functions import udtf
 
+    # Arrow-batched boundary transfer (ArrowEvalPythonUDTF) even under a
+    # vanilla driver session; eval itself stays per-row — that's what a
+    # table function is — but rows no longer cross the wire pickled.
+    try:
+        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    except Exception:
+        pass
+
     @udtf(returnType="run_id int, token string, run_len long")
     class TokenRLE:
         def eval(self, text: str):

@@ -36,6 +36,9 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas boundary (pandas_udf / mapInPandas / toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs cross the JVM/Python boundary through Arrow batches
+    # too (ArrowEvalPythonUDTF instead of pickled-row BatchEvalPythonUDTF).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # ANSI off: we want permissive casts like the reference's '\\N' repair
     # path, and DuckDB comparisons are done on already-clean data.
     "spark.sql.ansi.enabled": "false",

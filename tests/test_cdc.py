@@ -141,3 +141,26 @@ def test_merge_upsert_composite_key(spark):
         (1, "b", 20),
         (2, "b", 40),
     }
+
+
+def test_merge_upsert_plan_is_one_shuffled_join(spark):
+    """MERGE compiles to a single full-outer shuffled join — never a
+    nested-loop or cartesian fallback."""
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    changes = spark.range(0, 100, 10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        F.lit("U").alias("op"),
+    )
+    plan = (
+        merge_upsert(base, changes, keys=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -1,0 +1,147 @@
+"""Physical-plan audit over the whole query registry.
+
+Correctness artifacts (CORRECTNESS/SIM) prove the engine computes the
+right answers; this tool writes the matching SCALE artifact: for every
+registered query it compiles the sf0.1 plan (no execution) and records
+the shape metrics that matter at 100 TB —
+
+* shuffle exchanges / broadcast exchanges
+* join strategies (sort-merge / broadcast-hash / shuffled-hash /
+  nested-loop / cartesian)
+* whole-stage-codegen span count (JVM-compiled pipeline breadth)
+* Python boundaries (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+* scans with pushed filters and pruned read schemas
+
+and FLAGS anti-patterns: any CartesianProduct or BroadcastNestedLoopJoin
+outside the explicit whitelist (queries whose semantics are a bounded
+cross product), and any row-at-a-time PythonUDF eval (BatchEvalPython —
+the engine bans these; Arrow-batched is the floor).
+
+Usage: python tools/plan_audit.py [--out PATH] [names...]
+Exit 1 if any query is flagged, so it doubles as a CI gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.1")
+
+# Queries whose logical semantics ARE a bounded cross product (scalar
+# broadcast or an intentional small-dims cartesian): the only places a
+# nested-loop/cartesian operator is acceptable.
+CROSS_WHITELIST = {
+    "cross_join_region_priority",   # intentional 5x5 dims cartesian
+    "heavy_hitters_suppkey",        # scalar-threshold broadcast join
+    "event_funnel_conversion",      # single-row stage-count crossJoins
+    "sketch_rollup_daily_users",    # single-row sketch-union crossJoin
+    "decontaminate_ngram_overlap",  # broadcast benchmark-shingle set
+    "knn_exact_cosine",             # documented O(QxN) broadcast baseline
+    "dq_profile_orders",            # single-row profile crossJoin
+    # blocked-GEMM cosine: the block-pair grid (two tiny block-id lists,
+    # BNLJ on b1 <= b2) is metadata-scale — B² int pairs, not row data;
+    # the row-data path is the Arrow matmul over co-grouped blocks.
+    "dedup_embedding_cosine",
+}
+
+
+def audit_plan(plan: str) -> dict:
+    # NB: plans are AQE-initial (isFinalPlan=false) — codegen stage IDs
+    # only materialize at execution, so whole-stage spans are not
+    # counted here; tests/test_plans.py covers codegen-sensitive shapes.
+    c = plan.count
+    return {
+        "exchanges": len(re.findall(r"Exchange hashpartitioning", plan)),
+        "range_exchanges": len(re.findall(r"Exchange rangepartitioning", plan)),
+        "broadcasts": c("BroadcastExchange"),
+        "smj": c("SortMergeJoin"),
+        "bhj": c("BroadcastHashJoin"),
+        "shj": c("ShuffledHashJoin"),
+        "bnlj": c("BroadcastNestedLoopJoin"),
+        "cartesian": c("CartesianProduct"),
+        "arrow_python": len(re.findall(r"ArrowEvalPython(?!UDTF)", plan))
+        + c("MapInPandas")
+        + c("FlatMapGroupsInPandas")
+        + c("MapInArrow"),
+        # Python UDTFs are per-row by definition (§2.11d, documented);
+        # tracked separately so scalar row-at-a-time UDFs — which the
+        # engine bans — can be flagged precisely.
+        "udtf": c("EvalPythonUDTF"),
+        "row_python_udtf": len(re.findall(r"BatchEvalPythonUDTF", plan)),
+        "row_python": len(re.findall(r"BatchEvalPython(?!UDTF)", plan)),
+        "scans": c("FileScan parquet") + c("Scan parquet"),
+        "pushed_filters": len(
+            re.findall(r"PushedFilters: \[[^\]]", plan)
+        ),
+    }
+
+
+def main() -> None:
+    from big_data_imdb_classifier_spark import plans
+    from big_data_imdb_classifier_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark(app_name="plan-audit")
+
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = {a for a in argv if not a.startswith("--")}
+
+    results: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name, fn in sorted(plans.QUERIES.items()):
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            results[name] = {"error": str(ex)[:200]}
+            flagged.append(name)
+            print(f"FLAG {name}: plan failed: {ex}", flush=True)
+            continue
+        m = audit_plan(plan)
+        flags = []
+        if m["row_python"]:
+            flags.append("row-at-a-time PythonUDF")
+        if (m["cartesian"] or m["bnlj"]) and name not in CROSS_WHITELIST:
+            flags.append("unexpected cartesian/nested-loop join")
+        m["flags"] = flags
+        results[name] = m
+        if flags:
+            flagged.append(name)
+            print(f"FLAG {name}: {flags}", flush=True)
+
+    summary = {
+        "sf_dir": SF_DIR,
+        "total": len(results),
+        "flagged": flagged,
+        "totals": {
+            k: sum(r.get(k, 0) for r in results.values() if "error" not in r)
+            for k in (
+                "exchanges", "broadcasts", "smj", "bhj", "shj",
+                "arrow_python", "udtf", "row_python",
+            )
+        },
+        "results": results,
+    }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+    print(json.dumps({"total": len(results), "flagged": flagged}))
+    spark.stop()
+    if flagged:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
