@@ -11,6 +11,7 @@ def load_all() -> None:
         queries_curation,
         queries_enrichment,
         queries_events,
+        queries_graph,
         queries_ml,
         queries_multimodal,
         queries_relational,

@@ -623,3 +623,50 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, next_type, count(*)::BIGINT AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY event_type),
+                 {ROUND_DIGITS}) AS p
+    FROM t ORDER BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths:
+    P(next event type | current type) — the "what do users do next"
+    operator behind path/flow analysis. ``lead`` over (user, time) gives
+    the bigrams in one pass; the matrix is tiny (|types|²), so the
+    normalizing window runs on the already-reduced counts.
+
+    Shuffle budget: one hash exchange on user_id for the sequence window,
+    one on event_type for the count — the 5x5 output makes everything
+    after the first aggregation negligible at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), ROUND_DIGITS).alias("p"),
+    ).orderBy("event_type", "next_type")

@@ -1,0 +1,136 @@
+"""Graph analytics over the relational testdata: edge-list power
+iteration (PageRank-style centrality).
+
+The connected-components operator (operators/text.py: near-dup
+clustering) covers convergence-style iteration; this module adds the
+other canonical distributed-graph shape — iterative sparse
+matrix-vector multiplication over an EDGE LIST: join the rank vector to
+the edges on the source key, scale by normalized weight, re-aggregate by
+destination. That join+groupBy pair per iteration IS distributed
+PageRank; no adjacency materialization, no driver-side graph, and every
+iteration shuffles only (node, rank) tuples plus the (reused) edge list.
+
+The reference has no graph surface; this serves the 100 TB extension
+brief (influence/centrality over co-occurrence graphs is a standard
+corpus-curation signal — e.g. domain authority for web-crawl filtering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import ROUND_DIGITS, query
+
+_D = 0.85          # damping
+_ITERS = 2         # fixed unrolled iterations (oracle mirrors exactly)
+_MID_R = 8         # intermediate rounding pins FP accumulation cross-engine
+
+
+@query(
+    "graph_copurchase_pagerank",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*)::BIGINT AS w
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    outw AS (
+      SELECT src, sum(w) AS wtot FROM edges GROUP BY src
+    ),
+    n AS (SELECT count(DISTINCT src) AS n FROM edges),
+    r0 AS (SELECT src AS node, 1.0 / n.n AS r FROM outw, n),
+    r1 AS (
+      SELECT e.dst AS node,
+             round((1 - {_D}) / any_value(n.n)
+                   + {_D} * sum(r0.r * e.w / o.wtot), {_MID_R}) AS r
+      FROM edges e
+      JOIN r0 ON r0.node = e.src
+      JOIN outw o ON o.src = e.src
+      CROSS JOIN n
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             round((1 - {_D}) / any_value(n.n)
+                   + {_D} * sum(r1.r * e.w / o.wtot), {_MID_R}) AS r
+      FROM edges e
+      JOIN r1 ON r1.node = e.src
+      JOIN outw o ON o.src = e.src
+      CROSS JOIN n
+      GROUP BY e.dst
+    )
+    SELECT r2.node AS p_partkey,
+           outw.wtot::BIGINT AS out_weight,
+           round(r2.r, {ROUND_DIGITS}) AS rank
+    FROM r2 JOIN outw ON outw.src = r2.node
+    ORDER BY p_partkey
+    """,
+)
+def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations (d=0.85) over the part
+    co-purchase graph: parts are nodes, edge weight = number of orders
+    containing both parts.
+
+    Per iteration: one equi-join of the rank vector to the edge list on
+    ``src`` and one re-aggregation on ``dst`` — both hash on part keys,
+    and the edge list is persisted so its scan+shuffle is paid once.
+    Intermediate ranks round at 1e-8 so Spark's and DuckDB's float
+    accumulation orders cannot diverge the hash; final ranks at 1e-4.
+    At scale, iterations extend with ``localCheckpoint`` every few rounds
+    to cut the lineage (same discipline as near-dup clustering).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wtot")).persist()
+    n = outw.select(F.count(F.lit(1)).alias("n"))
+
+    # normalized edge transition weight, reused by every iteration
+    trans = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("wtot")).alias("tw")
+    )
+
+    rank = outw.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_ITERS):
+        rank = (
+            trans.join(rank, trans.src == rank.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum(F.col("r") * F.col("tw")).alias("mass"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("node2").alias("node"),
+                F.round(
+                    (1 - _D) / F.col("n") + _D * F.col("mass"), _MID_R
+                ).alias("r"),
+            )
+        )
+    return (
+        rank.join(outw, rank.node == outw.src)
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("wtot").cast("bigint").alias("out_weight"),
+            F.round("r", ROUND_DIGITS).alias("rank"),
+        )
+        .orderBy("p_partkey")
+    )
