@@ -340,3 +340,90 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    merged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 9 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 9 <> 0
+                 AND o_orderkey % 17 = 0)
+    )
+    SELECT COALESCE(m.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'I'
+                WHEN m.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           m.o_totalprice AS new_totalprice,
+           b.o_totalprice AS old_totalprice
+    FROM base b FULL JOIN merged m ON b.o_orderkey = m.o_orderkey
+    WHERE b.o_orderkey IS NULL OR m.o_orderkey IS NULL
+       OR (b.o_custkey, b.o_orderstatus, b.o_totalprice)
+          IS DISTINCT FROM (m.o_custkey, m.o_orderstatus, m.o_totalprice)
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC INVERSE: given two versions of a table,
+    reconstruct the minimal change log (insert / update with before+after
+    image / delete) that turns one into the other. This is how pipelines
+    without upstream CDC bootstrap incremental processing (and how
+    dataset versions are audited).
+
+    Round-trip property under the gate: ``merged`` here is exactly what
+    ``cdc_merge_upsert`` produces, so the diff must recover that query's
+    change batch minus no-op updates — the oracle encodes the same
+    derivation, and a drift in either direction breaks the hash.
+
+    Shape: ONE full-outer join on the key (same cost envelope as the
+    merge itself); the value-tuple comparison uses null-safe struct
+    inequality so NULL transitions diff correctly. No-op update rows are
+    dropped distributedly — the change log is minimal by construction.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base = o.filter(k % 10 != 0)
+    merged = o.filter(
+        ~((k % 10 != 0) & (k % 9 != 0) & (k % 17 == 0))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when((k % 10 != 0) & (k % 9 == 0), F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    m = merged.select([F.col(c).alias(f"__m_{c}") for c in merged.columns])
+    j = base.join(
+        m, F.col("o_orderkey").eqNullSafe(F.col("__m_o_orderkey")), "full_outer"
+    )
+    vals = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    changed = ~F.struct(*vals).eqNullSafe(
+        F.struct(*[F.col(f"__m_{v}").alias(v) for v in vals])
+    )
+    in_base = F.col("o_orderkey").isNotNull()
+    in_merged = F.col("__m_o_orderkey").isNotNull()
+    return (
+        j.filter(~in_base | ~in_merged | changed)
+        .select(
+            F.coalesce(F.col("__m_o_orderkey"), F.col("o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(~in_base, F.lit("I"))
+            .when(~in_merged, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("__m_o_totalprice").alias("new_totalprice"),
+            F.col("o_totalprice").alias("old_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
