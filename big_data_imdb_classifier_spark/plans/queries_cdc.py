@@ -153,60 +153,76 @@ def cdc_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fuzzy_match_levenshtein",
     oracle="""
-    WITH clean AS (
-      SELECT p_partkey, p_name, substr(p_name, 1, 2) AS blk,
-             length(p_name) AS len FROM part
+    WITH names AS (
+      SELECT p_name, min(p_partkey) AS match_key,
+             substr(p_name, 1, 2) AS blk, length(p_name) AS len
+      FROM part GROUP BY p_name
     ),
     dirty AS (
       SELECT p_partkey AS dirty_key,
              concat(substr(p_name, 1, 3 + p_partkey % (length(p_name) - 2) - 1),
                     substr(p_name, 3 + p_partkey % (length(p_name) - 2) + 1))
-               AS dirty_name,
-             substr(p_name, 1, 2) AS blk
+               AS dirty_name
       FROM part
     ),
+    dnames AS (
+      SELECT DISTINCT dirty_name, substr(dirty_name, 1, 2) AS blk FROM dirty
+    ),
     cand AS (
-      SELECT d.dirty_key, d.dirty_name, c.p_partkey, c.p_name,
-             levenshtein(d.dirty_name, c.p_name) AS dist
-      FROM dirty d JOIN clean c ON d.blk = c.blk
-      WHERE abs(length(d.dirty_name) - c.len) <= 1
-        AND levenshtein(d.dirty_name, c.p_name) <= 2
+      SELECT d.dirty_name, n.p_name, n.match_key,
+             levenshtein(d.dirty_name, n.p_name) AS dist
+      FROM dnames d JOIN names n ON d.blk = n.blk
+      WHERE abs(length(d.dirty_name) - n.len) <= 1
+        AND levenshtein(d.dirty_name, n.p_name) <= 2
     ),
     best AS (
-      SELECT *, row_number() OVER (PARTITION BY dirty_key
-                                   ORDER BY dist, p_partkey) AS rn
+      SELECT *, row_number() OVER (PARTITION BY dirty_name
+                                   ORDER BY dist, match_key) AS rn
       FROM cand
     )
-    SELECT dirty_key, dirty_name, p_partkey AS match_key,
-           p_name AS match_name, dist,
-           dirty_key = p_partkey AS matched_self
-    FROM best WHERE rn = 1 ORDER BY dirty_key
+    SELECT dy.dirty_key, dy.dirty_name, b.match_key,
+           b.p_name AS match_name, b.dist,
+           dy.dirty_key = b.match_key AS matched_self
+    FROM dirty dy JOIN best b
+      ON b.dirty_name = dy.dirty_name AND b.rn = 1
+    ORDER BY dy.dirty_key
     """,
 )
 def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by edit distance, candidate-generated by a
-    BLOCKING key — never all-pairs.
+    """Entity resolution by edit distance: candidates are generated over
+    DISTINCT name variants, then mapped back to rows — never all-pairs,
+    never all-rows.
 
     Each part name is corrupted deterministically (one character dropped
     at position ``3 + p_partkey % (len-2)``, so the 2-char blocking
-    prefix survives); the matcher re-links the dirty names to the
-    catalog: equi-join on the blocking prefix, cheap length-band residual
-    BEFORE the levenshtein conjunct (codegen short-circuits the
-    conjunction, so the O(len²) distance runs only on length-plausible
-    candidates), best match per dirty row by (distance, key).
+    prefix survives). The match for a dirty ROW is a pure function of
+    its dirty NAME, so the expensive stage runs on the deduplicated
+    name vocabularies: equi-join distinct dirty variants to distinct
+    catalog names on the blocking prefix, length-band residual BEFORE
+    the levenshtein conjunct (codegen short-circuits, so the O(len²)
+    distance runs only on length-plausible pairs), best name per variant
+    by (distance, min catalog key). Two hash joins then fan the verdicts
+    back out to rows.
 
-    Scale shape: the blocked join is a plain hash equi-join — candidate
-    volume is Σ_block |dirty_b|×|clean_b|, governed by blocking-key
-    selectivity, not N². Hot blocks are ordinary skewed join keys (AQE
-    skew split / salting apply); this is the same discipline as the
-    LSH band-bucket joins in operators/text.py.
+    Scale shape: candidate volume is Σ_block |dirty-vocab_b| ×
+    |catalog-vocab_b| — bounded by VOCABULARY sizes, independent of row
+    count. The round-3 scaling study caught the row-level formulation
+    going supralinear (0.65 s → 39 s across a 10× SF step: repeated
+    names made blocks grow with N, so pairs grew ~N²); this dedup-first
+    formulation is the standard ER discipline and holds the 10× step
+    near-linear. Row fan-out joins hash on the name — a hot name is an
+    ordinary skewed key (AQE skew split applies).
     """
     p = load_table(spark, sf_dir, "part")
-    clean = p.select(
-        "p_partkey",
-        "p_name",
-        F.substring("p_name", 1, 2).alias("blk"),
-        F.length("p_name").alias("len"),
+    names = (
+        p.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("match_key"))
+        .select(
+            "p_name",
+            "match_key",
+            F.substring("p_name", 1, 2).alias("blk"),
+            F.length("p_name").alias("len"),
+        )
     )
     pos = (F.lit(3) + F.col("p_partkey") % (F.length("p_name") - 2)).alias(
         "pos"
@@ -219,36 +235,39 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("substring(p_name, 1, pos - 1)"),
                 F.expr("substring(p_name, pos + 1, length(p_name))"),
             ).alias("dirty_name"),
-            F.substring("p_name", 1, 2).alias("blk"),
         )
     )
+    dnames = dirty.select(
+        "dirty_name", F.substring("dirty_name", 1, 2).alias("blk")
+    ).distinct()
     cand = (
-        dirty.join(clean, on="blk")
+        dnames.join(names, on="blk")
         .filter(
-            (
-                F.abs(F.length("dirty_name") - F.col("len")) <= 1
-            )
+            (F.abs(F.length("dirty_name") - F.col("len")) <= 1)
             & (F.levenshtein("dirty_name", "p_name") <= 2)
         )
         .select(
-            "dirty_key",
             "dirty_name",
-            "p_partkey",
-            "p_name",
+            F.col("p_name").alias("match_name"),
+            "match_key",
             F.levenshtein("dirty_name", "p_name").alias("dist"),
         )
     )
-    w = Window.partitionBy("dirty_key").orderBy("dist", "p_partkey")
-    return (
+    w = Window.partitionBy("dirty_name").orderBy("dist", "match_key")
+    best = (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        dirty.join(best, on="dirty_name")
         .select(
             "dirty_key",
             "dirty_name",
-            F.col("p_partkey").alias("match_key"),
-            F.col("p_name").alias("match_name"),
+            "match_key",
+            "match_name",
             "dist",
-            (F.col("dirty_key") == F.col("p_partkey")).alias("matched_self"),
+            (F.col("dirty_key") == F.col("match_key")).alias("matched_self"),
         )
         .orderBy("dirty_key")
     )

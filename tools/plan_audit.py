@@ -47,6 +47,7 @@ CROSS_WHITELIST = {
     # BNLJ on b1 <= b2) is metadata-scale — B² int pairs, not row data;
     # the row-data path is the Arrow matmul over co-grouped blocks.
     "dedup_embedding_cosine",
+    "graph_copurchase_pagerank",    # single-row node-count broadcast per iter
 }
 
 
