@@ -134,3 +134,75 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+_TRIANGLE_MIN_SUPPORT = 2
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_TRIANGLE_MIN_SUPPORT}
+    )
+    SELECT e1.u AS part_a, e1.v AS part_b, e2.v AS part_c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ORDER BY part_a, part_b, part_c
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the strong co-purchase graph (edges =
+    part pairs sharing ≥ 2 orders): the canonical graph-pattern query
+    (cohesion / community signal; in curation pipelines, triangle density
+    separates organic link neighborhoods from spam farms).
+
+    Shape: build the edge list once with every edge oriented low→high
+    part key, then two self-joins — e(a,b) ⋈ e(b,c) ⋈ e(a,c). The a<b<c
+    orientation means each triangle is found exactly once AND each join
+    input is the SAME oriented edge list, so Spark reuses one exchange
+    for all three legs. The support threshold is the standard scale
+    bound (it prunes the quadratic hub fan-out before any join); at
+    100 TB you'd additionally orient edges by degree (low-degree node
+    first), the classic trick that caps the e(b,c) fan-out — noted, not
+    needed at these SFs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= _TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+        # Referenced by all three join legs; without the persist each leg
+        # re-runs the fact-table self-join (the plan showed 3 independent
+        # scan+shuffle pipelines, no ReusedExchange — the legs differ by
+        # alias so the exchanges aren't structurally identical).
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("part_a"),
+            F.col("e1.v").alias("part_b"),
+            F.col("e2.v").alias("part_c"),
+        )
+        .orderBy("part_a", "part_b", "part_c")
+    )

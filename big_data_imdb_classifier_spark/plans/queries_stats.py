@@ -338,3 +338,51 @@ def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_merged") == F.col("_direct")).alias("merge_ok"),
     )
     return per_day.unionAll(all_row).orderBy("day")
+
+
+@query(
+    "skew_profile_orders_custkey",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+    )
+    SELECT count(*)::BIGINT AS n_keys,
+      CAST(sum(c) AS BIGINT) AS total_rows,
+      max(c)::BIGINT AS max_per_key,
+      round(sum(c) * 1.0 / count(*), {_R}) AS mean_per_key,
+      round(quantile_cont(c, 0.99), {_R}) AS p99_per_key,
+      round(max(c) * count(*) * 1.0 / sum(c), {_R}) AS skew_ratio,
+      round(max(c) * 1.0 / sum(c), {_R}) AS hot_key_frac,
+      round(ln(sum(c)) - sum(c * ln(c)) / sum(c), {_R}) AS key_entropy
+    FROM per_key
+    """,
+)
+def skew_profile_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for a join/agg key: the distribution of
+    rows-per-key for orders.o_custkey — max vs mean (skew ratio), the
+    hottest key's share of all rows, p99 rows-per-key, and Shannon
+    entropy of the key distribution. This is the profile you run BEFORE
+    shuffling 100 TB on a key: skew_ratio ≈ 1 and entropy ≈ ln(n_keys)
+    mean a balanced exchange; a large skew_ratio says salt this key or
+    rely on AQE skew splitting (both implemented — see
+    operators/relational.py count_enrich_salted and the AQE plan tests).
+
+    One partial+final hash aggregate builds per-key counts, then a
+    single-row global aggregate; the entropy folds in algebraically
+    (ln N − Σc·ln c / N) so no per-key probability column or second
+    pass over the fact table is needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("c"))
+    c = F.col("c")
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(c).alias("total_rows"),
+        F.max(c).alias("max_per_key"),
+        F.round(F.sum(c) / F.count("*"), _R).alias("mean_per_key"),
+        F.round(F.percentile(c, F.lit(0.99)), _R).alias("p99_per_key"),
+        F.round(F.max(c) * F.count("*") / F.sum(c), _R).alias("skew_ratio"),
+        F.round(F.max(c) / F.sum(c), _R).alias("hot_key_frac"),
+        F.round(
+            F.log(F.sum(c)) - F.sum(c * F.log(c)) / F.sum(c), _R
+        ).alias("key_entropy"),
+    )

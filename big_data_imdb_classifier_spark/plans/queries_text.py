@@ -1158,3 +1158,168 @@ def udtf_token_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, r.run_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filters + containment dedup
+# ---------------------------------------------------------------------------
+
+# Distinct word 2-grams from a pre-split token array `t` (k=2 twin of
+# _SHINGLES; mirrors word_shingles_col(text, 2)).
+_G2_DISTINCT = (
+    "list_distinct(list_transform("
+    "generate_series(1, len(t) - 1), "
+    "i -> array_to_string(list_slice(t, i, i + 1), ' ')))"
+)
+
+_REP_TOP_TOKEN_MAX = 0.2
+_REP_DUP_2GRAM_MAX = 0.4
+
+
+@query(
+    "quality_repetition_gopher",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    mode_per_doc AS (
+      SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    per AS (
+      SELECT x.doc_id, source,
+             top_cnt * 1.0 / len(t) AS ttf,
+             CASE WHEN len(t) > 1
+                  THEN 1.0 - len({_G2_DISTINCT}) * 1.0 / (len(t) - 1)
+                  ELSE 0.0 END AS d2f
+      FROM toks x JOIN mode_per_doc m ON x.doc_id = m.doc_id
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+      count(*) FILTER (ttf > {_REP_TOP_TOKEN_MAX}
+                       OR d2f > {_REP_DUP_2GRAM_MAX})::BIGINT AS n_flagged,
+      round(avg(ttf), {ROUND_DIGITS}) AS mean_top_token_frac,
+      round(avg(d2f), {ROUND_DIGITS}) AS mean_dup_2gram_frac
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def quality_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher corpus
+    rules (Rae et al. 2021, table A1): per document, the fraction of
+    tokens taken by the single most frequent token, and the fraction of
+    word 2-grams that are duplicates. Documents over either threshold are
+    what a curation pipeline drops as degenerate/boilerplate; the query
+    reports per-source flag counts and mean fractions.
+
+    The length/punctuation/stopword signals live in quality_filter_stats;
+    these repetition signals are the complementary family (a spam page
+    repeating one token passes length filters but fails here).
+
+    Scale shape: the per-token mode needs a (doc_id, token) count — keyed
+    by doc_id so partial aggregation absorbs each doc's token mass
+    map-side and the shuffle carries one row per distinct (doc, token).
+    The 2-gram dup fraction never leaves the row (higher-order array
+    expressions), and the final rollup groups on the low-cardinality
+    source key. Two narrow shuffles total at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", "source", TX.tokens_col("text").alias("t"))
+    tok = TX.explode_no_refilter(toks.select("doc_id", "t"), "t", "tok")
+    mode_per_doc = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+
+    n = F.size("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
+    )
+    d2_distinct = F.size(
+        F.array_distinct(
+            F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+        )
+    )
+    per = toks.join(mode_per_doc, "doc_id").select(
+        "source",
+        (F.col("top_cnt") / n).alias("ttf"),
+        F.when(n > 1, F.lit(1.0) - d2_distinct / (n - 1))
+        .otherwise(F.lit(0.0))
+        .alias("d2f"),
+    )
+    flagged = (F.col("ttf") > _REP_TOP_TOKEN_MAX) | (
+        F.col("d2f") > _REP_DUP_2GRAM_MAX
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(flagged, 1)).alias("n_flagged"),
+            F.round(F.avg("ttf"), ROUND_DIGITS).alias("mean_top_token_frac"),
+            F.round(F.avg("d2f"), ROUND_DIGITS).alias("mean_dup_2gram_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_CONTAINMENT_THRESHOLD = 0.35
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      round(n_common * 1.0 / len(x.s), {ROUND_DIGITS}) AS containment
+    FROM p JOIN sh x ON x.doc_id = doc_a
+    WHERE n_common * 1.0 / len(x.s) >= {_CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-dup detection by shingle containment
+    C(A→B) = |A∩B| / |A| — the asymmetric twin of Jaccard (Broder 1997).
+    Jaccard misses a short document wholly quoted inside a long one (the
+    union term swamps it); containment is exactly the signal for that
+    boilerplate/quotation case, which is why curation pipelines run both.
+    Emits ordered (doc_a, doc_b) pairs where ≥ 35% of doc_a's 3-gram
+    shingles also appear in doc_b.
+
+    Same inverted-index shape as dedup_ngram_jaccard (explode shingles →
+    xxhash64 the join key → self-join → count common per pair), but pairs
+    are kept in BOTH directions (a≠b, not a<b) since containment is
+    directional; only |A| is needed, carried through the explode so no
+    join back to the shingle sets. At 100 TB the LSH variant bounds the
+    candidate set first; this is the exact baseline on selective
+    shingles."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", TX.word_shingles_col("text", 3).alias("s"))
+    inv = (
+        sh.select(
+            "doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("_g")
+        )
+        .where(F.col("_g").isNotNull())
+        .select("doc_id", "sz", F.xxhash64("_g").alias("g"))
+        .repartition("g")
+    )
+    a = inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_na"), "g")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "g")
+    pairs = (
+        a.join(b, ["g"])
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "_na")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cont = pairs.withColumn("_c", F.col("n_common") / F.col("_na")).where(
+        F.col("_c") >= _CONTAINMENT_THRESHOLD
+    )
+    return cont.select(
+        "doc_a", "doc_b", F.round("_c", ROUND_DIGITS).alias("containment")
+    ).orderBy("doc_a", "doc_b")
