@@ -1323,3 +1323,198 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cont.select(
         "doc_a", "doc_b", F.round("_c", ROUND_DIGITS).alias("containment")
     ).orderBy("doc_a", "doc_b")
+
+
+_BP_DF_FRAC = 0.2  # a 2-gram in >=20% of a source's docs is boilerplate
+
+
+@query(
+    "boilerplate_ngrams_by_source",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, source, {_G2_DISTINCT} AS s FROM toks),
+    inv AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+    nsrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    df AS (
+      SELECT i.source, g, count(*) AS df FROM inv i GROUP BY i.source, g
+    ),
+    bp AS (
+      SELECT df.source, g FROM df JOIN nsrc ON nsrc.source = df.source
+      WHERE df >= {_BP_DF_FRAC} * n_docs
+    ),
+    per AS (
+      SELECT i.doc_id, i.source, count(*) AS n_sh, count(bp.g) AS n_bp
+      FROM inv i LEFT JOIN bp ON bp.source = i.source AND bp.g = i.g
+      GROUP BY i.doc_id, i.source
+    )
+    SELECT per.source,
+      any_value(nsrc.n_docs)::BIGINT AS n_docs,
+      (SELECT count(*) FROM bp WHERE bp.source = per.source)::BIGINT
+        AS n_bp_grams,
+      count(*) FILTER (n_bp > 0)::BIGINT AS n_docs_with_bp,
+      round(avg(n_bp * 1.0 / n_sh), {ROUND_DIGITS}) AS mean_bp_frac
+    FROM per JOIN nsrc ON nsrc.source = per.source
+    GROUP BY per.source ORDER BY per.source
+    """,
+)
+def boilerplate_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate detection: within each source (domain), a
+    word 2-gram present in ≥ 20% of that source's documents is
+    boilerplate (headers, navigation, license blurbs — content that
+    repeats across a domain without being document duplication). Reports,
+    per source, the boilerplate vocabulary size, how many docs carry any
+    of it, and the mean fraction of a doc's distinct 2-grams that are
+    boilerplate — the quantity a curation pipeline subtracts before
+    length/quality scoring.
+
+    Scale shape: document frequency is a (source, gram) partial+final
+    hash aggregate over the exploded grams (doc-distinct already, so df
+    counts docs, not occurrences); the boilerplate set is the df table
+    filtered against per-source doc counts (20-row broadcast). The
+    per-doc pass joins the exploded grams to the boilerplate set —
+    co-partitioned on the gram hash, and the boilerplate side is tiny by
+    construction (df ≥ 20% of docs caps the set size at 5 vocab² per
+    source) so it broadcasts."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", "source", TX.word_shingles_col("text", 2).alias("s")
+    )
+    inv = TX.explode_no_refilter(sh, "s", "g")
+    nsrc = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    df = inv.groupBy("source", "g").agg(F.count("*").alias("df"))
+    bp = (
+        df.join(F.broadcast(nsrc), "source")
+        .where(F.col("df") >= _BP_DF_FRAC * F.col("n_docs"))
+        .select("source", "g", F.lit(1).alias("_bp"))
+    )
+    per = (
+        inv.join(F.broadcast(bp), ["source", "g"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("_bp").alias("n_bp"),
+        )
+    )
+    bp_counts = bp.groupBy("source").agg(F.count("*").alias("n_bp_grams"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("_n_docs_seen"),
+            F.count(F.when(F.col("n_bp") > 0, 1)).alias("n_docs_with_bp"),
+            F.round(
+                F.avg(F.col("n_bp") / F.col("n_sh")), ROUND_DIGITS
+            ).alias("mean_bp_frac"),
+        )
+        .join(F.broadcast(nsrc), "source")
+        .join(F.broadcast(bp_counts), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_bp_grams", F.lit(0)).alias("n_bp_grams"),
+            "n_docs_with_bp",
+            "mean_bp_frac",
+        )
+        .orderBy("source")
+    )
+
+
+_SPLIT_SQL = ("CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) "
+              "AS BIGINT) % 10 < 8 THEN 'train' ELSE 'val' END")
+
+
+@query(
+    "split_leakage_check",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+        round(n_common::DOUBLE / (len(x.s) + len(y.s) - n_common),
+              {ROUND_DIGITS}) AS jaccard
+      FROM p JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+      WHERE n_common::DOUBLE / (len(x.s) + len(y.s) - n_common)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    splits AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents)
+    SELECT doc_a, doc_b, jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs
+    JOIN splits sa ON sa.doc_id = doc_a
+    JOIN splits sb ON sb.doc_id = doc_b
+    WHERE sa.split <> sb.split
+    ORDER BY doc_a, doc_b
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split hygiene: after a deterministic 80/20 hash split,
+    list every near-duplicate pair (3-gram Jaccard ≥ 0.2) that STRADDLES
+    the train/val boundary — each one is an eval-contamination leak that
+    inflates validation scores. The fix a pipeline applies is moving
+    whole near-dup clusters to one side; this query is the audit that
+    proves whether it's needed. (Random splits leak by construction
+    whenever near-dups exist; that is exactly what it surfaces here.)
+
+    Composition: the exact inverted-index Jaccard join (same shape as
+    dedup_ngram_jaccard) produces pairs; the hash-split assignment is a
+    pure projection (sample_by_hash's md5 bucket, no RNG); two joins pin
+    each pair end to its split. Pair ends are doc-keyed so both split
+    joins co-partition with the pair aggregation."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", TX.word_shingles_col("text", 3).alias("s"))
+    inv = (
+        sh.select(
+            "doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("_g")
+        )
+        .where(F.col("_g").isNotNull())
+        .select("doc_id", "sz", F.xxhash64("_g").alias("g"))
+        .repartition("g")
+    )
+    a = inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_na"), "g")
+    b = inv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_nb"), "g")
+    pairs = (
+        a.join(b, ["g"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "_na", "_nb")
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "_j",
+            F.col("n_common")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+        )
+        .where(F.col("_j") >= _JACCARD_THRESHOLD)
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(10),
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 8, "train").otherwise("val").alias("split"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("_j", ROUND_DIGITS).alias("jaccard"),
+            "split_a",
+            "split_b",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
