@@ -670,3 +670,123 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(norm), ROUND_DIGITS).alias("p"),
     ).orderBy("event_type", "next_type")
+
+
+@query(
+    "event_session_concurrency",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '30 minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT s_start AS ts, 1 AS d FROM sess
+      UNION ALL SELECT s_end, -1 FROM sess
+    ),
+    per_ts AS (
+      SELECT ts, count(*) FILTER (d = 1) AS pos, sum(d) AS net
+      FROM deltas GROUP BY ts
+    ),
+    cum AS (
+      SELECT ts, pos, net,
+        sum(net) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS c
+      FROM per_ts
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(max(c - net + pos) AS BIGINT) AS peak_concurrency,
+           CAST(sum(pos) AS BIGINT) AS sessions_started
+    FROM cum GROUP BY 1 ORDER BY 1
+    """,
+)
+def event_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval sweep-line: peak number of SIMULTANEOUSLY open sessions
+    per day (sessions = the same 30-minute-gap islands as
+    event_sessionization). The load-profile query behind capacity
+    planning and concurrency licensing — an interval-overlap aggregate
+    computed without ever enumerating the O(n²) overlapping pairs.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: each
+    session emits (+1 at start, −1 at end); deltas reduce per timestamp;
+    then the running count factors into (a) per-day partial sums rolled
+    up ahead of time and cumulated in a window over the ~150-row day
+    frame (the only unpartitioned window, bounded by calendar size, like
+    pack_sequences_contiguous' bin offsets), plus (b) a within-day
+    running sum partitioned by day. Concurrency at ts counts a +1 and a
+    −1 touching at the same instant as concurrent (c − net + pos), which
+    also makes the result independent of within-timestamp ordering —
+    required for cross-engine determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(w_order)
+    new_session = F.when(
+        prev.isNull()
+        | (epoch_seconds("ts") - epoch_seconds(prev) > 30 * 60),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.select("user_id", "ts", new_session.alias("new_session"))
+        .withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("d")
+    ).unionAll(sess.select(F.col("s_end").alias("ts"), F.lit(-1).alias("d")))
+    per_ts = (
+        deltas.groupBy("ts")
+        .agg(
+            F.count(F.when(F.col("d") == 1, 1)).alias("pos"),
+            F.sum("d").alias("net"),
+        )
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    )
+    # (a) day-level partials: offset of each day = sum of all prior days'
+    # nets; the window spans only calendar days, so one tiny partition.
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    day_off = (
+        per_ts.groupBy("day")
+        .agg(F.sum("net").alias("_dn"))
+        .select(
+            "day",
+            F.coalesce(F.sum("_dn").over(w_days), F.lit(0)).alias("_off"),
+        )
+    )
+    # (b) within-day running sum, partitioned by day — scales with data.
+    w_in_day = (
+        Window.partitionBy("day")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_ts.join(F.broadcast(day_off), "day").withColumn(
+        "_c", F.col("_off") + F.sum("net").over(w_in_day)
+    )
+    conc = F.col("_c") - F.col("net") + F.col("pos")
+    return (
+        cum.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max(conc).cast("bigint").alias("peak_concurrency"),
+            F.sum("pos").cast("bigint").alias("sessions_started"),
+        )
+        .orderBy("day")
+    )

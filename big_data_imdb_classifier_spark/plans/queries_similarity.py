@@ -252,3 +252,91 @@ def knn_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.round("sim", ROUND_DIGITS).alias("sim"),
     ).orderBy("query_id", "rank")
+
+
+_Q_MID_R = 8  # pin per-vector FP accumulation before the label-level avg
+
+
+@query(
+    "mapinarrow_embedding_quantize",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+        list_max(list_transform(embedding, x -> abs(x))) AS m,
+        embedding AS e
+      FROM embeddings
+    ),
+    err AS (
+      SELECT vec_id, label,
+        CASE WHEN m = 0 THEN 0.0 ELSE round(
+          list_aggregate(
+            list_transform(e, x ->
+              abs(x - floor((127 * x::DOUBLE) / m + 0.5) * m / 127)),
+            'sum') / len(e), {_Q_MID_R})
+        END AS mae
+      FROM q
+    )
+    SELECT label, count(*)::BIGINT AS n_vecs,
+           round(avg(mae), {ROUND_DIGITS}) AS mean_abs_err
+    FROM err GROUP BY label ORDER BY label
+    """,
+)
+def mapinarrow_embedding_quantize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    compression step an embedding store applies before ANN serving — and
+    the per-label reconstruction-error audit that validates it. Scale =
+    per-vector max-abs; codes = floor(127·x/scale + 0.5) (explicit
+    half-up so the engine and the oracle round identically; NumPy's
+    native rint rounds half-to-even).
+
+    This is the ``mapInArrow`` extension point (completing the Python
+    boundary surface: scalar pandas_udf, grouped-agg, applyInPandas,
+    UDTF, and now raw Arrow): batches cross as Arrow RecordBatches with NO pandas
+    materialization — the FixedSizeList column flattens to one
+    contiguous float32 buffer, reshaped zero-copy into an (n, dim)
+    NumPy matrix, so the whole batch quantizes as two vectorized ops.
+    Per-vector MAE is rounded to 1e-8 inside the batch (cross-engine FP
+    pinning, same trick as graph PageRank's per-iteration rounding);
+    the label rollup stays JVM-side."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+
+    def quantize(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            ids = tbl.column("vec_id").to_numpy()
+            labels = tbl.column("label").to_numpy()
+            col = tbl.column("embedding").combine_chunks()
+            flat = np.asarray(col.flatten(), dtype=np.float32)
+            x = flat.reshape(len(ids), -1).astype(np.float64)
+            m = np.abs(x.astype(np.float32)).max(axis=1).astype(np.float64)
+            safe = np.where(m == 0, 1.0, m)
+            q = np.floor((127.0 * x) / safe[:, None] + 0.5)
+            recon = q * safe[:, None] / 127.0
+            mae = np.abs(x - recon).sum(axis=1) / x.shape[1]
+            mae = np.where(m == 0, 0.0, np.round(mae, _Q_MID_R))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(labels, type=pa.int32()),
+                    pa.array(mae, type=pa.float64()),
+                ],
+                names=["vec_id", "label", "mae"],
+            )
+
+    per_vec = emb.select("vec_id", "label", "embedding").mapInArrow(
+        quantize, "vec_id long, label int, mae double"
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("mae"), ROUND_DIGITS).alias("mean_abs_err"),
+        )
+        .orderBy("label")
+    )
