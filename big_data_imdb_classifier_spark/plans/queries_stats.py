@@ -386,3 +386,130 @@ def skew_profile_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum(c)) - F.sum(c * F.log(c)) / F.sum(c), _R
         ).alias("key_entropy"),
     )
+
+
+_ED_BINS = 10
+
+
+@query(
+    "histogram_equidepth_price",
+    oracle=f"""
+    WITH edges AS (
+      SELECT quantile_cont(l_extendedprice,
+        [{", ".join(str(i / _ED_BINS) for i in range(1, _ED_BINS))}]) AS e
+      FROM lineitem
+    )
+    SELECT len(list_filter(e, x -> l_extendedprice > x))::BIGINT AS bin,
+           count(*)::BIGINT AS n_rows,
+           round(min(l_extendedprice), {_R}) AS lo,
+           round(max(l_extendedprice), {_R}) AS hi
+    FROM lineitem, edges
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (the optimizer-statistics twin of the
+    fixed-width ``histogram_price_bins``): decile edges from one exact
+    interpolated-percentile aggregate, then every row binned by how many
+    edges it exceeds — near-equal bin populations by construction, which
+    is what makes equi-depth the right shape for selectivity estimation
+    and range-partition planning over skewed columns.
+
+    Two passes by necessity (edges are data-dependent), but the edge
+    vector is a single 9-double row broadcast to the binning scan —
+    same broadcast-scalar shape as heavy_hitters_suppkey; the bin
+    assignment is a JVM higher-order filter over the broadcast array,
+    and the final count groups on ≤ 10 keys so partials absorb
+    everything map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.array(
+        *[F.lit(i / _ED_BINS) for i in range(1, _ED_BINS)]
+    )
+    edges = li.agg(F.percentile("l_extendedprice", pcts).alias("e"))
+    x = F.col("l_extendedprice")
+    bin_idx = F.size(F.filter(F.col("e"), lambda e: x > e))
+    return (
+        li.crossJoin(F.broadcast(edges))
+        .groupBy(bin_idx.alias("bin"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min(x), _R).alias("lo"),
+            F.round(F.max(x), _R).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+_MAD_K = 1.4826  # consistency constant: MAD ≈ σ for normal data
+_MAD_CUT = 3.0
+
+
+@query(
+    "stats_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+      SELECT l.l_returnflag,
+             any_value(med) AS med,
+             quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+      FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+      GROUP BY l.l_returnflag
+    )
+    SELECT l.l_returnflag,
+      round(any_value(mad.med), {_R}) AS median_price,
+      round(any_value(mad.mad), {_R}) AS mad_price,
+      count(*) FILTER (abs(l_extendedprice - mad.med)
+                       > {_MAD_CUT} * {_MAD_K} * mad.mad)::BIGINT
+        AS n_outliers,
+      round(count(*) FILTER (abs(l_extendedprice - mad.med)
+                             > {_MAD_CUT} * {_MAD_K} * mad.mad)
+            * 1.0 / count(*), {_R}) AS outlier_frac
+    FROM lineitem l JOIN mad ON l.l_returnflag = mad.l_returnflag
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection per group: median absolute deviation
+    (median of |x − median|, scaled by 1.4826) with a 3-MAD cut — the
+    estimator that, unlike mean/stddev z-scores (text_zscore_by_source),
+    is not itself dragged by the outliers it hunts (50% breakdown point
+    vs 0%). The data-quality screen a curation pipeline runs on numeric
+    columns before imputation picks fill values.
+
+    Three grouped passes by definition (median, then median of
+    deviations, then the cut) — each a single partial+final aggregate on
+    the 3-value flag key, stitched by broadcast joins of 3-row
+    statistics frames; the fact table is scanned three times rather than
+    cached because at 100 TB a re-scan beats evicting the working set."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    x = F.col("l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile(x, F.lit(0.5)).alias("med")
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(F.abs(x - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
+    )
+    is_out = F.abs(x - F.col("med")) > _MAD_CUT * _MAD_K * F.col("mad")
+    return (
+        li.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med"), _R).alias("median_price"),
+            F.round(F.any_value("mad"), _R).alias("mad_price"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+            F.round(
+                F.count(F.when(is_out, 1)) / F.count(F.lit(1)), _R
+            ).alias("outlier_frac"),
+        )
+        .orderBy("l_returnflag")
+    )

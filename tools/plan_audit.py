@@ -48,6 +48,7 @@ CROSS_WHITELIST = {
     # the row-data path is the Arrow matmul over co-grouped blocks.
     "dedup_embedding_cosine",
     "graph_copurchase_pagerank",    # single-row node-count broadcast per iter
+    "histogram_equidepth_price",    # single-row decile-edge-vector broadcast
 }
 
 

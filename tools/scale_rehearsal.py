@@ -1,0 +1,180 @@
+"""Scale rehearsal ONE DECADE past the largest on-disk testdata.
+
+The scaling study (tools/scaling.py) covers sf0.001→sf0.1. This tool
+fabricates an "sf1-equivalent" events table — 10× sf0.1 — and times the
+whole event/streaming-adjacent query suite across that extra 10× step,
+so the linearity claims extend two decades beyond the driver's bench SF.
+
+The upsample is deterministic and key-disjoint: each sf0.1 event row is
+replicated REPS times entirely JVM-side (explode of a literal sequence),
+with replica r remapped to a fresh user_id / event_id keyspace. That
+grows KEY CARDINALITY 10× while preserving per-user density and the
+time range — the same shape a bigger real deployment has (more users,
+not denser users), which is exactly the axis event-query shuffles
+partition on. Timestamps, types, values, and props are untouched.
+
+Only the events table is fabricated: document/embedding upsampling can't
+be made workload-neutral (replicating content manufactures near-dup
+clusters, which legitimately changes pair-query complexity rather than
+testing the same plan at more data).
+
+Usage: python tools/scale_rehearsal.py [--out PATH] [--dir DIR] [names...]
+Exit 1 if any query's 10× growth ratio exceeds the supralinear flag.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01_DIR = "/root/testdata/sf0.1"
+DEFAULT_DIR = "/tmp/sparkgraft_sf1"
+REPS = 10
+SUPRALINEAR_RATIO = 12.0  # 10× data + noise headroom (matches scaling.py)
+
+# Every registry query whose only input is the events table.
+EVENT_QUERIES = [
+    "event_window_tumbling",
+    "event_window_sliding",
+    "event_date_trunc_rollup",
+    "event_props_json",
+    "event_props_variant",
+    "event_sessionization",
+    "event_session_concurrency",
+    "event_dedup_latest",
+    "event_ffill_gap_fill",
+    "event_rolling_1h_user_sum",
+    "event_asof_last_purchase",
+    "event_asof_next_purchase_1h",
+    "event_range_join_clicks_before_purchase",
+    "event_funnel_conversion",
+    "event_transition_matrix",
+    "user_event_type_profile",
+    "sketch_rollup_daily_users",
+]
+
+
+def build_sf1_events(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF01_DIR, "events")
+    n = ev.count()  # base event_id range, for disjoint replica keyspaces
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))).alias("_rep")
+    up = (
+        ev.select("*", reps)
+        .select(
+            (F.col("event_id") + F.col("_rep") * F.lit(n)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_rep") * F.lit(10_000_000)).alias(
+                "user_id"
+            ),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    tmp = out_dir + ".tmp"
+    up.repartition(32).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+
+
+def main() -> None:
+    from big_data_imdb_classifier_spark import plans
+    from big_data_imdb_classifier_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark(app_name="scale-rehearsal")
+
+    base_dir = DEFAULT_DIR
+    if "--dir" in sys.argv:
+        base_dir = sys.argv[sys.argv.index("--dir") + 1]
+    args, skip = sys.argv[1:], False
+    names = []
+    for a in args:
+        if skip:
+            skip = False
+        elif a in ("--out", "--dir"):
+            skip = True
+        elif not a.startswith("--"):
+            names.append(a)
+    names = [n for n in (names or EVENT_QUERIES) if n in plans.QUERIES]
+
+    ev_dir = os.path.join(base_dir, "events_sf1")
+    marker = os.path.join(ev_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        t0 = time.perf_counter()
+        build_sf1_events(spark, ev_dir)
+        print(
+            f"built sf1 events ({REPS}x sf0.1) in "
+            f"{time.perf_counter() - t0:.1f}s -> {ev_dir}",
+            file=sys.stderr,
+        )
+    # Queries take an sf_dir and read {sf_dir}/events.parquet.
+    sf1_dir = os.path.join(base_dir, "as_sf_dir")
+    link = os.path.join(sf1_dir, "events.parquet")
+    os.makedirs(sf1_dir, exist_ok=True)
+    if not os.path.exists(link):
+        os.symlink(ev_dir, link)
+
+    def run(name: str, sf_dir: str) -> float:
+        df = plans.QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm-up at sf0.01 (JIT/codegen), then time sf0.1 and sf1.
+    for n in names:
+        try:
+            run(n, "/root/testdata/sf0.01")
+        except Exception:
+            pass
+
+    rows = []
+    for n in names:
+        try:
+            t_01 = round(run(n, SF01_DIR), 3)
+            t_1 = round(run(n, sf1_dir), 3)
+        except Exception as ex:  # noqa: BLE001
+            print(f"rehearsal: {n} failed: {ex}", file=sys.stderr)
+            continue
+        ratio = round(t_1 / max(t_01, 1e-9), 2)
+        rows.append(
+            {
+                "query": n,
+                "sec": {"0.1": t_01, "1": t_1},
+                "growth_10x": ratio,
+                "supralinear": ratio > SUPRALINEAR_RATIO,
+            }
+        )
+
+    out = {
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "reps": REPS,
+        "rows": rows,
+    }
+    if "--out" in sys.argv:
+        with open(sys.argv[sys.argv.index("--out") + 1], "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    for r in rows:
+        flag = "  <-- SUPRALINEAR" if r["supralinear"] else ""
+        print(
+            f"{r['sec']['0.1']:7.2f} {r['sec']['1']:7.2f} "
+            f"x{r['growth_10x']:<5} {r['query']}{flag}"
+        )
+    n_bad = sum(r["supralinear"] for r in rows)
+    print(json.dumps({"total": len(rows), "supralinear": n_bad}))
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
