@@ -1518,3 +1518,84 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_NLL_MID_R = 8  # pin per-doc FP accumulation before stats/rollup
+
+
+@query(
+    "quality_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, source, unnest(t) AS w FROM toks),
+    vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    nll AS (
+      SELECT doc_id, source,
+        round(-avg(ln(c / (SELECT n FROM tot))), {_NLL_MID_R}) AS nll
+      FROM tok JOIN vocab USING (w)
+      GROUP BY doc_id, source
+    ),
+    cut AS (SELECT avg(nll) + 2 * stddev_pop(nll) AS thr FROM nll)
+    SELECT source,
+      count(*)::BIGINT AS n_docs,
+      round(avg(nll), {ROUND_DIGITS}) AS mean_nll,
+      count(*) FILTER (nll >= (SELECT thr FROM cut))::BIGINT
+        AS n_high_surprisal
+    FROM nll GROUP BY source ORDER BY source
+    """,
+)
+def quality_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet recipe with a unigram
+    model standing in for KenLM): fit token probabilities on the corpus
+    itself, score every document by mean negative log-likelihood
+    (surprisal), and flag docs more than 2σ above the corpus mean —
+    gibberish and off-distribution content score high; the flag
+    threshold is self-calibrating, not a tuned constant.
+
+    Scale shape: the unigram LM *is* a token-count aggregate (vocab-
+    sized, heavy-tailed — partial aggregation absorbs the token mass
+    map-side); scoring joins exploded tokens to the vocab table on the
+    token key. The vocab frame is the join's build side; the corpus-mean
+    threshold folds back as a broadcast scalar (1-row frame), so the doc
+    scores are computed once and scanned twice (stats + rollup), never
+    the corpus. Per-doc scores are rounded at 1e-8 on both engines
+    before the threshold comparison (same FP-pinning trick as PageRank's
+    per-iteration rounding); doc-score spacing near the 2σ cut is ~1e-5,
+    five orders above residual accumulation drift."""
+    docs = _docs(spark, sf_dir)
+    tok = TX.explode_no_refilter(
+        docs.select("doc_id", "source", TX.tokens_col("text").alias("t")),
+        "t",
+        "w",
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    nll = (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                -F.avg(F.log(F.col("c") / F.col("n"))), _NLL_MID_R
+            ).alias("nll")
+        )
+        # Feeds both the threshold stats and the rollup; persist so the
+        # token-join pipeline runs once (the frame is one row per doc).
+        .persist()
+    )
+    cut = nll.agg(
+        (F.avg("nll") + 2 * F.stddev_pop("nll")).alias("thr")
+    )
+    return (
+        nll.crossJoin(F.broadcast(cut))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nll"), ROUND_DIGITS).alias("mean_nll"),
+            F.count(F.when(F.col("nll") >= F.col("thr"), 1)).alias(
+                "n_high_surprisal"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -49,6 +49,7 @@ CROSS_WHITELIST = {
     "dedup_embedding_cosine",
     "graph_copurchase_pagerank",    # single-row node-count broadcast per iter
     "histogram_equidepth_price",    # single-row decile-edge-vector broadcast
+    "quality_unigram_surprisal",    # single-row LM-total + 2-sigma-cut broadcasts
 }
 
 
