@@ -24,7 +24,13 @@ from __future__ import annotations
 import datetime as _dt
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _MASK = (1 << 64) - 1
 
@@ -88,6 +94,68 @@ class SyntheticEventsReader(DataSourceReader):
             yield (rid, ts, user, etype, value)
 
 
+class JsonLinesSinkDataSource(DataSource):
+    """Python DataSource WRITER (the other half of the Spark 4 API): a
+    JSON-lines sink where each executor writes its own partition file —
+    no driver collection, linear scale-out, exactly the contract a
+    custom export connector (feature store, labeling service, vendor
+    bulk API) implements. ``overwrite`` clears the directory first; the
+    commit protocol returns per-partition row counts as the
+    WriterCommitMessage payload.
+
+    Options: ``path`` (required, local/posix directory).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_sink requires a 'path' option")
+        return JsonLinesWriter(path, [f.name for f in schema.fields], overwrite)
+
+
+class PartitionCount(WriterCommitMessage):
+    """Picklable per-partition row-count commit message."""
+
+    def __init__(self, partition_id: int, count: int) -> None:
+        self.partition_id = partition_id
+        self.count = count
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, path: str, cols: Sequence[str], overwrite: bool) -> None:
+        import os
+        import shutil
+
+        self.path = path
+        self.cols = list(cols)
+        if overwrite and os.path.isdir(path):
+            shutil.rmtree(path)
+
+    def write(self, iterator: Iterator) -> "WriterCommitMessage":
+        import json
+        import os
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        tmp = os.path.join(self.path, f"_tmp-part-{pid:05d}.jsonl")
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                rec = {c: row[i] for i, c in enumerate(self.cols)}
+                fh.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        # task-level atomicity: rename only on success, so a retried
+        # task never leaves a half-written visible file
+        os.rename(tmp, os.path.join(self.path, f"part-{pid:05d}.jsonl"))
+        return PartitionCount(pid, n)
+
+
 def register(spark) -> None:
-    """Register the source on a session (idempotent)."""
+    """Register the sources on a session (idempotent)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonLinesSinkDataSource)

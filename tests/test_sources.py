@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import pyspark.sql.types as T
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_imdb_classifier_spark.sources.readers import load_table
 
@@ -373,3 +374,78 @@ class TestSyntheticEventsDataSource:
         ).collect()[0]
         assert 0.0 <= bounds[0] and bounds[1] < 1000.0
         assert bounds[2].year == 2024
+
+
+class TestJsonLinesSinkDataSource:
+    """Python DataSource WRITER half (sources/pyds.py JsonLinesSink):
+    executor-side partition files, overwrite semantics, commit counts."""
+
+    def test_round_trip(self, spark, tmp_path):
+        from big_data_imdb_classifier_spark.sources import pyds
+
+        pyds.register(spark)
+        out = str(tmp_path / "jsonl_out")
+        df = (
+            spark.range(0, 1000, 1, 4)
+            .selectExpr(
+                "id",
+                "concat('u', id % 7) AS tag",
+                "CAST(id AS DOUBLE) * 1.5 AS v",
+            )
+        )
+        df.write.format("jsonl_sink").option("path", out).mode(
+            "overwrite"
+        ).save()
+
+        import glob
+
+        parts = sorted(glob.glob(out + "/part-*.jsonl"))
+        assert len(parts) == 4  # one file per input partition, no driver fan-in
+        back = spark.read.schema(df.schema).json(out)
+        assert back.count() == 1000
+        a = {tuple(r) for r in df.select("id", "tag", "v").collect()}
+        b = {
+            (r["id"], r["tag"], r["v"])
+            for r in back.select("id", "tag", "v").collect()
+        }
+        assert a == b
+
+    def test_overwrite_replaces_previous_output(self, spark, tmp_path):
+        from big_data_imdb_classifier_spark.sources import pyds
+
+        pyds.register(spark)
+        out = str(tmp_path / "jsonl_out2")
+        spark.range(0, 50, 1, 2).write.format("jsonl_sink").option(
+            "path", out
+        ).mode("overwrite").save()
+        spark.range(0, 10, 1, 1).write.format("jsonl_sink").option(
+            "path", out
+        ).mode("overwrite").save()
+        assert spark.read.json(out).count() == 10
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round trip (the third columnar format after
+    parquet and the clustered/z-ordered layouts): values survive, and a
+    predicate on the ORC scan reaches the reader as a pushed filter."""
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "lineitem_orc")
+    li.write.mode("overwrite").orc(path)
+
+    back = spark.read.orc(path)
+    assert back.count() == li.count()
+    a = {tuple(r) for r in li.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+    plan = (
+        back.where(F.col("l_quantity") > 40)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
