@@ -1599,3 +1599,50 @@ def quality_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_WS_K = 50
+
+
+@query(
+    "sample_weighted_no_replacement",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+        ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) + 1)
+           / 4294967296.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(k, 8) AS sample_key
+    FROM keyed ORDER BY k DESC, doc_id LIMIT {_WS_K}
+    """,
+)
+def sample_weighted_no_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc gets key ln(u)/w — u a uniform
+    derived from the md5 of its id (no RNG state, reproducible on any
+    cluster/run, like sample_by_hash), w its weight (n_chars here; a
+    quality score in production) — and the top-k keys ARE a
+    weight-proportional sample. The op behind quality-weighted corpus
+    subsampling ("sample 10B tokens preferring high-quality docs"): one
+    projection + one TakeOrderedAndProject, no shuffle beyond the top-k
+    reduction, and trivially restartable since the keys are pure
+    functions of the data."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", k.alias("_k"))
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(_WS_K)
+        .select(
+            "doc_id", "source", "n_chars", F.round("_k", 8).alias("sample_key")
+        )
+    )
