@@ -83,7 +83,14 @@ def main() -> None:
         df = plans.QUERIES[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # Queries that persist intermediates (pagerank edges, triangle
+        # edge list, per-doc LM scores) would otherwise leave their
+        # caches resident for every LATER query's run — measured as a
+        # 15x slowdown on late-alphabet TPC-H queries in a full --all
+        # sweep. Isolate each timing.
+        spark.catalog.clearCache()
+        return elapsed
 
     # `python bench.py --all` times EVERY registry query (the secondary
     # regression ledger, BENCHLOG.md); the driver's default run stays the

@@ -1373,8 +1373,9 @@ def boilerplate_ngrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered against per-source doc counts (20-row broadcast). The
     per-doc pass joins the exploded grams to the boilerplate set —
     co-partitioned on the gram hash, and the boilerplate side is tiny by
-    construction (df ≥ 20% of docs caps the set size at 5 vocab² per
-    source) so it broadcasts."""
+    construction — Σ_g df(g) ≤ docs × grams-per-doc, so grams with
+    df ≥ 20% of docs number at most 5 × the average grams-per-doc,
+    independent of corpus size — so it broadcasts."""
     docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id", "source", TX.word_shingles_col("text", 2).alias("s")
