@@ -310,6 +310,8 @@ def mapinarrow_embedding_quantize(
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             ids = tbl.column("vec_id").to_numpy()
+            if len(ids) == 0:  # empty input split: reshape(0, -1) raises
+                continue
             labels = tbl.column("label").to_numpy()
             col = tbl.column("embedding").combine_chunks()
             flat = np.asarray(col.flatten(), dtype=np.float32)
