@@ -420,7 +420,11 @@ def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     same broadcast-scalar shape as heavy_hitters_suppkey; the bin
     assignment is a JVM higher-order filter over the broadcast array,
     and the final count groups on ≤ 10 keys so partials absorb
-    everything map-side."""
+    everything map-side. The edge aggregate itself buffers all values on
+    one reducer (exact order statistics; the 10× rehearsal measures it
+    at 4× wall for 10× rows) — at 100 TB compute the edges with
+    approx_percentile (mergeable GK sketch, see approx_percentile_price)
+    and keep the binning pass unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
     pcts = F.array(
         *[F.lit(i / _ED_BINS) for i in range(1, _ED_BINS)]

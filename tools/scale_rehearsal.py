@@ -13,10 +13,15 @@ time range — the same shape a bigger real deployment has (more users,
 not denser users), which is exactly the axis event-query shuffles
 partition on. Timestamps, types, values, and props are untouched.
 
-Only the events table is fabricated: document/embedding upsampling can't
-be made workload-neutral (replicating content manufactures near-dup
-clusters, which legitimately changes pair-query complexity rather than
-testing the same plan at more data).
+The relational suite gets the same treatment on the OTHER growth axis:
+lineitem+orders replicated 10× into disjoint ORDER keyspaces with the
+dimension tables untouched — the fact tables grow, per-dimension-key
+density grows, dims stay dim-sized (exactly how a warehouse grows).
+Documents/embeddings are NOT fabricated: replicating content
+manufactures near-dup clusters, which legitimately changes pair-query
+complexity rather than testing the same plan at more data — and the
+co-occurrence graph queries are excluded for the same reason
+(duplicated orders multiply edge weights, not edges).
 
 Usage: python tools/scale_rehearsal.py [--out PATH] [--dir DIR] [names...]
 Exit 1 if any query's 10× growth ratio exceeds the supralinear flag.
@@ -58,6 +63,45 @@ EVENT_QUERIES = [
     "sketch_rollup_daily_users",
 ]
 
+# Relational queries over lineitem/orders + dims. Excluded by design:
+# graph_* (order replication multiplies co-occurrence WEIGHTS, not the
+# edge set — a different workload, not the same one at 10×).
+RELATIONAL_QUERIES = [
+    "flagship_top_customer_per_nation",
+    "pricing_summary",
+    "count_enrich_window",
+    "topk_suppliers_per_nation",
+    "left_join_enrich",
+    "semi_join_big_spenders",
+    "anti_join_no_urgent",
+    "group_count_priority",
+    "global_multi_agg",
+    "window_analytics",
+    "sort_limit_topn",
+    "stats_percentiles_by_flag",
+    "exact_mode_quantity",
+    "heavy_hitters_suppkey",
+    "histogram_price_bins",
+    "histogram_equidepth_price",
+    "stats_mad_outliers",
+    "skew_profile_orders_custkey",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
+]
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _write(df, out_dir: str) -> None:
+    tmp = out_dir + ".tmp"
+    df.repartition(32).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+
 
 def build_sf1_events(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
@@ -80,11 +124,39 @@ def build_sf1_events(spark, out_dir: str) -> None:
             "props",
         )
     )
-    tmp = out_dir + ".tmp"
-    up.repartition(32).write.mode("overwrite").parquet(tmp)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    os.rename(tmp, out_dir)
+    _write(up, out_dir)
+
+
+_OKEY_STRIDE = 1_000_000_000  # disjoint order keyspaces per replica
+
+
+def build_sf1_facts(spark, orders_dir: str, lineitem_dir: str) -> None:
+    """10× lineitem+orders with replica-remapped ORDER keys; every other
+    key (cust/supp/part) untouched, so dimension joins see 10× the fact
+    rows per dim key — the fact-growth axis."""
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))).alias("_rep")
+    orders = load_table(spark, SF01_DIR, "orders")
+    _write(
+        orders.select("*", reps)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("_rep") * _OKEY_STRIDE
+        )
+        .drop("_rep"),
+        orders_dir,
+    )
+    li = load_table(spark, SF01_DIR, "lineitem")
+    _write(
+        li.select("*", reps)
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("_rep") * _OKEY_STRIDE
+        )
+        .drop("_rep"),
+        lineitem_dir,
+    )
 
 
 def main() -> None:
@@ -106,24 +178,48 @@ def main() -> None:
             skip = True
         elif not a.startswith("--"):
             names.append(a)
-    names = [n for n in (names or EVENT_QUERIES) if n in plans.QUERIES]
+    names = [
+        n
+        for n in (names or EVENT_QUERIES + RELATIONAL_QUERIES)
+        if n in plans.QUERIES
+    ]
 
-    ev_dir = os.path.join(base_dir, "events_sf1")
-    marker = os.path.join(ev_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+    fabricated = {
+        "events": (os.path.join(base_dir, "events_sf1"), None),
+        "orders": (os.path.join(base_dir, "orders_sf1"), None),
+        "lineitem": (os.path.join(base_dir, "lineitem_sf1"), None),
+    }
+    if not os.path.exists(os.path.join(fabricated["events"][0], "_SUCCESS")):
         t0 = time.perf_counter()
-        build_sf1_events(spark, ev_dir)
+        build_sf1_events(spark, fabricated["events"][0])
         print(
             f"built sf1 events ({REPS}x sf0.1) in "
-            f"{time.perf_counter() - t0:.1f}s -> {ev_dir}",
+            f"{time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
-    # Queries take an sf_dir and read {sf_dir}/events.parquet.
+    if not os.path.exists(os.path.join(fabricated["lineitem"][0], "_SUCCESS")):
+        t0 = time.perf_counter()
+        build_sf1_facts(
+            spark, fabricated["orders"][0], fabricated["lineitem"][0]
+        )
+        print(
+            f"built sf1 orders+lineitem ({REPS}x sf0.1) in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    # Queries take an sf_dir: fabricated tables point at the upsamples,
+    # every other table symlinks the real sf0.1 parquet (dims stay dims).
     sf1_dir = os.path.join(base_dir, "as_sf_dir")
-    link = os.path.join(sf1_dir, "events.parquet")
     os.makedirs(sf1_dir, exist_ok=True)
-    if not os.path.exists(link):
-        os.symlink(ev_dir, link)
+    for t in TABLES:
+        link = os.path.join(sf1_dir, f"{t}.parquet")
+        target = (
+            fabricated[t][0]
+            if t in fabricated
+            else os.path.join(SF01_DIR, f"{t}.parquet")
+        )
+        if not os.path.exists(link):
+            os.symlink(target, link)
 
     def run(name: str, sf_dir: str) -> float:
         df = plans.QUERIES[name](spark, sf_dir)
