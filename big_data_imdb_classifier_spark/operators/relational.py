@@ -283,3 +283,65 @@ def range_join_count(
         joined.groupBy(*group_cols)
         .agg(F.sum("_hit").cast("long").alias(count_col))
     )
+
+
+def interval_concurrency_profile(
+    intervals: DataFrame,
+    start_col: str = "s_start",
+    end_col: str = "s_end",
+) -> DataFrame:
+    """Interval sweep-line as a DISTRIBUTED prefix sum: per calendar day,
+    the peak number of simultaneously open intervals (closed-interval
+    semantics: an interval is open at ts iff start ≤ ts ≤ end; two
+    intervals touching at one instant count as concurrent) and the
+    number of intervals started.
+
+    Never enumerates the O(n²) overlapping pairs. Each interval emits
+    (+1 at start, −1 at end); deltas reduce per timestamp; the running
+    count factors into (a) day-level partials cumulated in a window over
+    the tiny calendar frame — the only unpartitioned window, bounded by
+    days, not data — plus (b) a within-day running sum partitioned by
+    day. Concurrency at ts is c − net + pos, which equals
+    #{i : start_i ≤ ts ≤ end_i} and is independent of within-timestamp
+    ordering (required for cross-engine determinism). Peaks are reported
+    for days containing at least one interval endpoint (concurrency only
+    changes at endpoints).
+
+    Used by ``event_session_concurrency`` (plans/queries_events.py);
+    property-tested against a brute-force overlap count in
+    tests/test_property_joins.py."""
+    deltas = intervals.select(
+        F.col(start_col).alias("ts"), F.lit(1).alias("d")
+    ).unionAll(
+        intervals.select(F.col(end_col).alias("ts"), F.lit(-1).alias("d"))
+    )
+    per_ts = (
+        deltas.groupBy("ts")
+        .agg(
+            F.count(F.when(F.col("d") == 1, 1)).alias("pos"),
+            F.sum("d").alias("net"),
+        )
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    )
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    day_off = (
+        per_ts.groupBy("day")
+        .agg(F.sum("net").alias("_dn"))
+        .select(
+            "day",
+            F.coalesce(F.sum("_dn").over(w_days), F.lit(0)).alias("_off"),
+        )
+    )
+    w_in_day = (
+        Window.partitionBy("day")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_ts.join(F.broadcast(day_off), "day").withColumn(
+        "_c", F.col("_off") + F.sum("net").over(w_in_day)
+    )
+    conc = F.col("_c") - F.col("net") + F.col("pos")
+    return cum.groupBy(F.col("day")).agg(
+        F.max(conc).cast("bigint").alias("peak_concurrency"),
+        F.sum("pos").cast("bigint").alias("intervals_started"),
+    )

@@ -748,45 +748,11 @@ def event_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
-    deltas = sess.select(
-        F.col("s_start").alias("ts"), F.lit(1).alias("d")
-    ).unionAll(sess.select(F.col("s_end").alias("ts"), F.lit(-1).alias("d")))
-    per_ts = (
-        deltas.groupBy("ts")
-        .agg(
-            F.count(F.when(F.col("d") == 1, 1)).alias("pos"),
-            F.sum("d").alias("net"),
-        )
-        .withColumn("day", F.date_trunc("day", F.col("ts")))
-    )
-    # (a) day-level partials: offset of each day = sum of all prior days'
-    # nets; the window spans only calendar days, so one tiny partition.
-    w_days = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    day_off = (
-        per_ts.groupBy("day")
-        .agg(F.sum("net").alias("_dn"))
-        .select(
-            "day",
-            F.coalesce(F.sum("_dn").over(w_days), F.lit(0)).alias("_off"),
-        )
-    )
-    # (b) within-day running sum, partitioned by day — scales with data.
-    w_in_day = (
-        Window.partitionBy("day")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = per_ts.join(F.broadcast(day_off), "day").withColumn(
-        "_c", F.col("_off") + F.sum("net").over(w_in_day)
-    )
-    conc = F.col("_c") - F.col("net") + F.col("pos")
-    return (
-        cum.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.max(conc).cast("bigint").alias("peak_concurrency"),
-            F.sum("pos").cast("bigint").alias("sessions_started"),
-        )
-        .orderBy("day")
-    )
+    from ..operators.relational import interval_concurrency_profile
+
+    profile = interval_concurrency_profile(sess, "s_start", "s_end")
+    return profile.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "peak_concurrency",
+        F.col("intervals_started").alias("sessions_started"),
+    ).orderBy("day")

@@ -134,3 +134,52 @@ def test_asof_join_forward_and_tolerance_match_bruteforce(
                 assert got[(k, t, v)] == want, (
                     k, t, direction, strict, tolerance, cands,
                 )
+
+
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200_000),  # start offset sec
+        st.integers(min_value=0, max_value=90_000),   # duration sec
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(iv=interval_strategy)
+@settings(max_examples=10, deadline=None)
+def test_interval_concurrency_matches_bruteforce(spark, iv):
+    """Sweep-line peak concurrency (distributed two-level prefix sum) vs
+    the O(n²) definition: for each endpoint ts, count intervals with
+    start ≤ ts ≤ end; per-day peak over that day's endpoints."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta, timezone
+
+    from big_data_imdb_classifier_spark.operators.relational import (
+        interval_concurrency_profile,
+    )
+
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    spans = [(base + timedelta(seconds=s), base + timedelta(seconds=s + d))
+             for s, d in iv]
+    df = spark.createDataFrame(
+        [(a.replace(tzinfo=None), b.replace(tzinfo=None)) for a, b in spans],
+        "s_start timestamp, s_end timestamp",
+    )
+    got = {
+        (r["day"].date().isoformat(), r["peak_concurrency"],
+         r["intervals_started"])
+        for r in interval_concurrency_profile(df).collect()
+    }
+
+    peaks: dict = defaultdict(int)
+    starts: dict = defaultdict(int)
+    endpoints = {t for a, b in spans for t in (a, b)}
+    for ts in endpoints:
+        conc = sum(1 for a, b in spans if a <= ts <= b)
+        day = ts.date().isoformat()
+        peaks[day] = max(peaks[day], conc)
+    for a, _ in spans:
+        starts[a.date().isoformat()] += 1
+    want = {(d, peaks[d], starts.get(d, 0)) for d in peaks}
+    assert got == want
