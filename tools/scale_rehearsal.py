@@ -17,11 +17,16 @@ The relational suite gets the same treatment on the OTHER growth axis:
 lineitem+orders replicated 10× into disjoint ORDER keyspaces with the
 dimension tables untouched — the fact tables grow, per-dimension-key
 density grows, dims stay dim-sized (exactly how a warehouse grows).
-Documents/embeddings are NOT fabricated: replicating content
-manufactures near-dup clusters, which legitimately changes pair-query
-complexity rather than testing the same plan at more data — and the
-co-occurrence graph queries are excluded for the same reason
-(duplicated orders multiply edge weights, not edges).
+The text suite gets a WORKLOAD-NEUTRAL 10× corpus: every replica's
+tokens are prefixed with a replica tag (so shingles/fingerprints never
+collide across replicas — naive replication would manufacture near-dup
+clusters and quadratic pair blow-ups) and sources are suffixed per
+replica (so each source keeps its original per-source shape). Pair
+queries therefore see exactly 10× the original workload: 10 isolated
+copies. Embeddings are NOT fabricated (the all-pairs cosine baseline is
+intentionally quadratic; replicated vectors would also create degenerate
+duplicate neighborhoods), and the co-occurrence graph queries are
+excluded (duplicated orders multiply edge weights, not edges).
 
 Usage: python tools/scale_rehearsal.py [--out PATH] [--dir DIR] [names...]
 Exit 1 if any query's 10× growth ratio exceeds the supralinear flag.
@@ -94,6 +99,38 @@ RELATIONAL_QUERIES = [
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Text/dedup/curation queries over documents only. Excluded by design:
+# dedup_embedding_cosine (quadratic baseline), knn_* (embeddings not
+# fabricated), near_dup_clusters / dedup_survivors cousins are covered
+# via their pair-producing cores below.
+TEXT_QUERIES = [
+    "text_features",
+    "text_lang_id",
+    "text_stats_by_source",
+    "quality_filter_stats",
+    "quality_repetition_gopher",
+    "quality_unigram_surprisal",
+    "boilerplate_ngrams_by_source",
+    "vocab_top_tokens",
+    "text_tfidf_top_terms",
+    "dedup_exact",
+    "dedup_survivors",
+    "minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_containment",
+    "decontaminate_ngram_overlap",
+    "text_pii_redact",
+    "doc_chunk_sliding",
+    "pack_sequences_contiguous",
+    "sample_by_hash_quarter",
+    "sample_stratified_by_source",
+    "sample_weighted_no_replacement",
+    "split_leakage_check",
+]
+
 
 def _write(df, out_dir: str) -> None:
     tmp = out_dir + ".tmp"
@@ -128,6 +165,40 @@ def build_sf1_events(spark, out_dir: str) -> None:
 
 
 _OKEY_STRIDE = 1_000_000_000  # disjoint order keyspaces per replica
+
+
+def build_sf1_docs(spark, out_dir: str) -> None:
+    """10× documents, workload-neutral: replica-tagged tokens (no
+    cross-replica shingle/fingerprint collisions) and replica-suffixed
+    sources (per-source shape preserved). n_chars recomputed so
+    length-derived stats stay consistent with the text."""
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF01_DIR, "documents")
+    n = docs.count()
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))).alias("_rep")
+    tag = F.concat(F.lit("r"), F.col("_rep").cast("string"), F.lit("_"))
+    up = (
+        docs.select("*", reps)
+        .select(
+            (F.col("doc_id") + F.col("_rep") * F.lit(n)).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.trim("text"), r"\s+"),
+                    lambda t: F.concat(tag, t),
+                ),
+            ).alias("text"),
+            "lang",
+            F.concat(
+                F.col("source"), F.lit("_r"), F.col("_rep").cast("string")
+            ).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    _write(up, out_dir)
 
 
 def build_sf1_facts(spark, orders_dir: str, lineitem_dir: str) -> None:
@@ -180,7 +251,7 @@ def main() -> None:
             names.append(a)
     names = [
         n
-        for n in (names or EVENT_QUERIES + RELATIONAL_QUERIES)
+        for n in (names or EVENT_QUERIES + RELATIONAL_QUERIES + TEXT_QUERIES)
         if n in plans.QUERIES
     ]
 
@@ -188,12 +259,21 @@ def main() -> None:
         "events": (os.path.join(base_dir, "events_sf1"), None),
         "orders": (os.path.join(base_dir, "orders_sf1"), None),
         "lineitem": (os.path.join(base_dir, "lineitem_sf1"), None),
+        "documents": (os.path.join(base_dir, "documents_sf1"), None),
     }
     if not os.path.exists(os.path.join(fabricated["events"][0], "_SUCCESS")):
         t0 = time.perf_counter()
         build_sf1_events(spark, fabricated["events"][0])
         print(
             f"built sf1 events ({REPS}x sf0.1) in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    if not os.path.exists(os.path.join(fabricated["documents"][0], "_SUCCESS")):
+        t0 = time.perf_counter()
+        build_sf1_docs(spark, fabricated["documents"][0])
+        print(
+            f"built sf1 documents ({REPS}x sf0.1) in "
             f"{time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
@@ -218,6 +298,10 @@ def main() -> None:
             if t in fabricated
             else os.path.join(SF01_DIR, f"{t}.parquet")
         )
+        # re-point stale links (a table may graduate from real to
+        # fabricated between runs)
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.remove(link)
         if not os.path.exists(link):
             os.symlink(target, link)
 
