@@ -304,7 +304,6 @@ def mapinarrow_embedding_quantize(
     import pyarrow as pa
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
 
     def quantize(batches):
         for batch in batches:

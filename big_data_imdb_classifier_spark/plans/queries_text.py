@@ -467,6 +467,54 @@ def text_median_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_THRESHOLD = 0.2
 
 
+def _shingle_inverted_index(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Exploded inverted index (doc_id, sz, g) over word k-gram shingles
+    — the shared core of dedup_ngram_jaccard, dedup_containment, and
+    split_leakage_check.
+
+    Each doc's set SIZE rides through the explode so no join back to the
+    shingle sets is needed; repartition on the join key makes the two
+    self-join branches downstream share ONE Exchange (ReusedExchange),
+    so the shingle pipeline is computed once, not once per branch. The
+    join key is the xxhash64 of the shingle — 8-byte shuffle rows
+    instead of ~20-byte strings (a 64-bit collision merging two distinct
+    shingles has probability ~|vocab|²/2⁶⁴ ≈ 1e-10 at 100 TB vocab
+    sizes). explode_outer + isNotNull, not explode: the inferred
+    size(s)>0 filter would re-inline the whole shingle expression at the
+    scan (see operators/text.py explode_no_refilter)."""
+    sh = docs.select("doc_id", TX.word_shingles_col("text", k).alias("s"))
+    return (
+        sh.select(
+            "doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("_g")
+        )
+        .where(F.col("_g").isNotNull())
+        .select("doc_id", "sz", F.xxhash64("_g").alias("g"))
+        .repartition("g")
+    )
+
+
+def _jaccard_pairs(inv: DataFrame, threshold: float) -> DataFrame:
+    """Undirected Jaccard pairs (doc_a < doc_b, column ``_j``) from an
+    inverted index: equi-join on the shingle hash → count common per
+    pair → Jaccard from the carried set sizes."""
+    a = inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_na"), "g")
+    b = inv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_nb"), "g")
+    return (
+        a.join(b, ["g"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "_na", "_nb")
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "_j",
+            F.col("n_common")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+        )
+        .where(F.col("_j") >= threshold)
+    )
+
+
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -498,38 +546,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort shingles by global frequency, index only each doc's rarest few)
     to bound the index join."""
     docs = _docs(spark, sf_dir)
-    # One-file corpus scans as one partition — spread the shingle work.
-    sh = docs.select(
-        "doc_id", TX.word_shingles_col("text", 3).alias("s")
-    )
-    # Carry each doc's set SIZE through the explode so no join back to the
-    # shingle sets is needed; repartition on the join key makes the two
-    # self-join branches share ONE Exchange (ReusedExchange), so the
-    # shingle pipeline is computed once, not once per branch. The join key
-    # is the xxhash64 of the shingle — 8-byte shuffle rows instead of
-    # ~20-byte strings (a 64-bit collision merging two distinct shingles
-    # has probability ~|vocab|²/2⁶⁴ ≈ 1e-10 at 100 TB vocab sizes).
-    # explode_outer + isNotNull, not explode: the inferred size(s)>0
-    # filter would re-inline the whole shingle expression at the scan
-    # (see operators/text.py explode_no_refilter).
-    inv = (
-        sh.select("doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("_g"))
-        .where(F.col("_g").isNotNull())
-        .select("doc_id", "sz", F.xxhash64("_g").alias("g"))
-        .repartition("g")
-    )
-    a = inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_na"), "g")
-    b = inv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_nb"), "g")
-    pairs = (
-        a.join(b, ["g"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "_na", "_nb")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = pairs.withColumn(
-        "_j",
-        F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")),
-    ).where(F.col("_j") >= _JACCARD_THRESHOLD)
+    inv = _shingle_inverted_index(docs, k=3)
+    jac = _jaccard_pairs(inv, _JACCARD_THRESHOLD)
     return jac.select(
         "doc_a", "doc_b", F.round("_j", ROUND_DIGITS).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
@@ -1221,7 +1239,9 @@ def quality_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions), and the final rollup groups on the low-cardinality
     source key. Two narrow shuffles total at any corpus size."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", "source", TX.tokens_col("text").alias("t"))
+    toks = docs.select(
+        "doc_id", "source", "text", TX.tokens_col("text").alias("t")
+    )
     tok = TX.explode_no_refilter(toks.select("doc_id", "t"), "t", "tok")
     mode_per_doc = (
         tok.groupBy("doc_id", "tok")
@@ -1231,15 +1251,8 @@ def quality_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n = F.size("t")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
-    )
-    d2_distinct = F.size(
-        F.array_distinct(
-            F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
-        )
-    )
+    # same operator the oracle's _G2_DISTINCT fragment mirrors
+    d2_distinct = F.size(TX.word_shingles_col("text", 2))
     per = toks.join(mode_per_doc, "doc_id").select(
         "source",
         (F.col("top_cnt") / n).alias("ttf"),
@@ -1300,15 +1313,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set first; this is the exact baseline on selective
     shingles."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", TX.word_shingles_col("text", 3).alias("s"))
-    inv = (
-        sh.select(
-            "doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("_g")
-        )
-        .where(F.col("_g").isNotNull())
-        .select("doc_id", "sz", F.xxhash64("_g").alias("g"))
-        .repartition("g")
-    )
+    inv = _shingle_inverted_index(docs, k=3)
     a = inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_na"), "g")
     b = inv.select(F.col("doc_id").alias("doc_b"), "g")
     pairs = (
@@ -1467,28 +1472,8 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     each pair end to its split. Pair ends are doc-keyed so both split
     joins co-partition with the pair aggregation."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", TX.word_shingles_col("text", 3).alias("s"))
-    inv = (
-        sh.select(
-            "doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("_g")
-        )
-        .where(F.col("_g").isNotNull())
-        .select("doc_id", "sz", F.xxhash64("_g").alias("g"))
-        .repartition("g")
-    )
-    a = inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_na"), "g")
-    b = inv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_nb"), "g")
-    pairs = (
-        a.join(b, ["g"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "_na", "_nb")
-        .agg(F.count("*").alias("n_common"))
-        .withColumn(
-            "_j",
-            F.col("n_common")
-            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
-        )
-        .where(F.col("_j") >= _JACCARD_THRESHOLD)
+    pairs = _jaccard_pairs(
+        _shingle_inverted_index(docs, k=3), _JACCARD_THRESHOLD
     )
     bucket = F.pmod(
         F.conv(

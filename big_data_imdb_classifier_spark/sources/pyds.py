@@ -114,6 +114,14 @@ class JsonLinesSinkDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("jsonl_sink requires a 'path' option")
+        if not overwrite:
+            # Append would silently REPLACE same-numbered part files from
+            # a previous write (rename is unconditional) — reject rather
+            # than lose rows.
+            raise ValueError(
+                "jsonl_sink supports mode('overwrite') only; append would "
+                "clobber prior part files"
+            )
         return JsonLinesWriter(path, [f.name for f in schema.fields], overwrite)
 
 
@@ -140,10 +148,15 @@ class JsonLinesWriter(DataSourceWriter):
         import os
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
         n = 0
-        tmp = os.path.join(self.path, f"_tmp-part-{pid:05d}.jsonl")
+        # attempt-unique tmp name: concurrent speculative attempts of the
+        # same partition must not interleave writes into one file
+        tmp = os.path.join(
+            self.path, f"_tmp-part-{pid:05d}-{ctx.taskAttemptId()}.jsonl"
+        )
         with open(tmp, "w") as fh:
             for row in iterator:
                 rec = {c: row[i] for i, c in enumerate(self.cols)}

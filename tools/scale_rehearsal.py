@@ -146,7 +146,8 @@ def build_sf1_events(spark, out_dir: str) -> None:
     from big_data_imdb_classifier_spark.sources.readers import load_table
 
     ev = load_table(spark, SF01_DIR, "events")
-    n = ev.count()  # base event_id range, for disjoint replica keyspaces
+    # stride by max+1, not count: ids need not be dense for disjointness
+    n = ev.agg(F.max("event_id")).first()[0] + 1
     reps = F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))).alias("_rep")
     up = (
         ev.select("*", reps)
@@ -177,7 +178,7 @@ def build_sf1_docs(spark, out_dir: str) -> None:
     from big_data_imdb_classifier_spark.sources.readers import load_table
 
     docs = load_table(spark, SF01_DIR, "documents")
-    n = docs.count()
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
     reps = F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))).alias("_rep")
     tag = F.concat(F.lit("r"), F.col("_rep").cast("string"), F.lit("_"))
     up = (
@@ -237,9 +238,15 @@ def main() -> None:
     plans.load_all()
     spark = get_spark(app_name="scale-rehearsal")
 
-    base_dir = DEFAULT_DIR
-    if "--dir" in sys.argv:
-        base_dir = sys.argv[sys.argv.index("--dir") + 1]
+    def _flag_value(flag: str) -> str | None:
+        if flag not in sys.argv:
+            return None
+        i = sys.argv.index(flag) + 1
+        if i >= len(sys.argv):
+            raise SystemExit(f"{flag} requires a value")
+        return sys.argv[i]
+
+    base_dir = _flag_value("--dir") or DEFAULT_DIR
     args, skip = sys.argv[1:], False
     names = []
     for a in args:
@@ -309,7 +316,11 @@ def main() -> None:
         df = plans.QUERIES[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # same cache isolation as bench.py: queries that persist
+        # intermediates must not leave them resident for later timings
+        spark.catalog.clearCache()
+        return elapsed
 
     # Warm-up at sf0.01 (JIT/codegen), then time sf0.1 and sf1.
     for n in names:
@@ -341,8 +352,9 @@ def main() -> None:
         "reps": REPS,
         "rows": rows,
     }
-    if "--out" in sys.argv:
-        with open(sys.argv[sys.argv.index("--out") + 1], "w") as fh:
+    out_path = _flag_value("--out")
+    if out_path:
+        with open(out_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
     for r in rows:
         flag = "  <-- SUPRALINEAR" if r["supralinear"] else ""

@@ -82,7 +82,10 @@ def main() -> None:
         "cases": results,
     }
     if "--out" in sys.argv:
-        with open(sys.argv[sys.argv.index("--out") + 1], "w") as fh:
+        i = sys.argv.index("--out") + 1
+        if i >= len(sys.argv):
+            raise SystemExit("--out requires a value")
+        with open(sys.argv[i], "w") as fh:
             json.dump(summary, fh, indent=1, sort_keys=True)
     print(json.dumps({k: v["rows_per_sec"] for k, v in results.items()}))
     spark.stop()
