@@ -1632,3 +1632,77 @@ def sample_weighted_no_replacement(
             "doc_id", "source", "n_chars", F.round("_k", 8).alias("sample_key")
         )
     )
+
+
+_MIX_ALPHA = 0.5   # temperature: w_s ∝ n_s^alpha (alpha<1 upweights tails)
+_MIX_TARGET = 200  # total docs to draw
+
+
+@query(
+    "sample_mixture_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    weights AS (
+      SELECT source, n,
+        power(n, {_MIX_ALPHA}) / sum(power(n, {_MIX_ALPHA})) OVER () AS w
+      FROM counts
+    ),
+    budgets AS (
+      SELECT source, n,
+        CAST(floor({_MIX_TARGET} * w + 0.5) AS BIGINT) AS budget
+      FROM weights
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, b.budget
+    FROM ranked r JOIN budgets b ON b.source = r.source
+    WHERE r.rn <= b.budget
+    ORDER BY r.doc_id
+    """,
+)
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling — the data-MIXING step of a
+    multi-source training pipeline (the mT5/XLM-R recipe): per-source
+    budgets ∝ n_s^α with α = 0.5, so small sources are upweighted
+    relative to their raw share and no single corpus dominates; each
+    source then contributes its budget deterministically (md5 hash
+    order — reproducible, RNG-free, like sample_by_hash). α = 1 is
+    proportional sampling, α = 0 uniform-across-sources; the exponent is
+    the single knob data-mixing ablations turn.
+
+    Scale shape: budgets come from a source-cardinality aggregate (tiny)
+    with a window over the source frame; the draw itself is one
+    row_number window partitioned by source joined to the broadcast
+    budget table — one shuffle on the source key, no global sort."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    weights = counts.select(
+        "source",
+        (
+            F.pow("n", _MIX_ALPHA)
+            / F.sum(F.pow("n", _MIX_ALPHA)).over(w_all)
+        ).alias("w"),
+    )
+    budgets = weights.select(
+        "source",
+        F.floor(_MIX_TARGET * F.col("w") + 0.5).cast("long").alias("budget"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w_src).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(budgets), "source")
+        .where(F.col("rn") <= F.col("budget"))
+        .select("doc_id", "source", "budget")
+        .orderBy("doc_id")
+    )

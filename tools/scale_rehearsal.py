@@ -128,6 +128,7 @@ TEXT_QUERIES = [
     "sample_by_hash_quarter",
     "sample_stratified_by_source",
     "sample_weighted_no_replacement",
+    "sample_mixture_temperature",
     "split_leakage_check",
 ]
 
