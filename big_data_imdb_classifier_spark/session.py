@@ -86,3 +86,57 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+) -> dict[str, str]:
+    """Recommended conf overlay for a REAL cluster run at ~100 TB — the
+    deployment twin of the local profile above. Not applied by
+    get_spark() (cluster managers own resources); pass to spark-submit
+    or ``get_spark(extra_conf=cluster_conf())`` on a cluster session.
+    Every value states its sizing rule so an operator can re-derive it
+    for a different fleet.
+
+    Sizing logic, for the default 1000 × 4-core shape:
+
+    * shuffle partitions = 2 × total cores (two task waves): at 100 TB
+      a full-input shuffle then lands ~12 GB per partition pre-AQE, so
+      wide stages rely on AQE coalescing DOWN being cheap while spilling
+      stages should instead raise this toward input_bytes / 256 MB —
+      the number is a floor, not a ceiling, and the plan-audit flags the
+      shapes that would need it.
+    * maxPartitionBytes 256m: scan tasks sized so a 100 TB table yields
+      ~400k scan tasks — large enough to amortize task overhead, small
+      enough that one straggling row-group doesn't stall a stage.
+    * Kryo + registrationRequired=false: tuple-heavy shuffles serialize
+      2-4× smaller/faster than Java serialization.
+    * speculation: stragglers are the norm at 4000-way parallelism.
+    * broadcast threshold 64m: dims up to ~nation/part scale broadcast
+      even with wide rows; anything bigger should be a shuffle join on
+      purpose, not by accident.
+    * shuffle.service + dynamicAllocation: executors can be reclaimed
+      between stages without losing shuffle files.
+    """
+    total_cores = executors * cores_per_executor
+    # 2 full waves of tasks per shuffle stage; AQE coalesces small
+    # shuffles below this, and skew-split raises hot partitions above it.
+    shuffle_parts = total_cores * 2
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.default.parallelism": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.speculation": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+        "spark.shuffle.service.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
