@@ -756,3 +756,93 @@ def event_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_concurrency",
         F.col("intervals_started").alias("sessions_started"),
     ).orderBy("day")
+
+
+@query(
+    "cogroup_click_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    per_purchase AS (
+      SELECT p.user_id,
+        (SELECT count(*) FROM c
+          WHERE c.user_id = p.user_id AND c.ts < p.ts
+            AND (p.prev_ts IS NULL OR c.ts >= p.prev_ts)) AS n_attrib
+      FROM p
+    )
+    SELECT user_id,
+      count(*)::BIGINT AS n_purchases,
+      CAST(sum(n_attrib) AS BIGINT) AS attributed_clicks,
+      max(n_attrib)::BIGINT AS max_interval_clicks
+    FROM per_purchase GROUP BY user_id ORDER BY user_id
+    """,
+)
+def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-interval click attribution via the COGROUPED-MAP extension
+    point (``groupBy().cogroup().applyInPandas``): per user, each
+    purchase is credited with the clicks since the previous purchase
+    (clicks at or after the prior purchase's timestamp, strictly before
+    this one) — the marketing-attribution primitive. Per-user rollup:
+    purchases, total attributed clicks, busiest interval.
+
+    Why cogroup: the per-user logic consumes TWO differently-shaped
+    streams (all clicks, all purchases) at once — as a join it's the
+    O(clicks × purchases)-per-user range join (the banded rewrite exists:
+    event_range_join...); as cogroup each side shuffles ONCE on user_id
+    and a vectorized searchsorted does the interval assignment per user
+    in O((C+P) log P). This completes the Python-boundary surface:
+    scalar/grouped-agg pandas_udf, applyInPandas, mapInPandas,
+    mapInArrow, UDTF, and cogrouped-map.
+
+    Cross-engine determinism: interval edges compare raw timestamps
+    (no FP); numpy searchsorted side='left'/'right' reproduces the
+    strict-< / ≥ edge semantics of the correlated-subquery oracle."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def attribute(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "attributed_clicks",
+                         "max_interval_clicks"]
+            )
+        p = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pts = p["ts"].to_numpy()
+        cts = np.sort(cdf["ts"].to_numpy()) if len(cdf) else np.array(
+            [], dtype=pts.dtype
+        )
+        # clicks strictly before this purchase...
+        hi = np.searchsorted(cts, pts, side="left")
+        # ...and at-or-after the previous purchase (first interval: all)
+        prev = np.concatenate(([np.datetime64("1900-01-01")], pts[:-1]))
+        lo = np.searchsorted(cts, prev, side="left")
+        n_attrib = hi - lo
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [len(pts)],
+                "attributed_clicks": [int(n_attrib.sum())],
+                "max_interval_clicks": [int(n_attrib.max())],
+            }
+        )
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attribute,
+            "user_id long, n_purchases long, attributed_clicks long, "
+            "max_interval_clicks long",
+        )
+    )
+    return out.orderBy("user_id")
