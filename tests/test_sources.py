@@ -449,3 +449,20 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+
+def test_jsonl_sink_rejects_append(spark, tmp_path):
+    """Append would silently replace same-numbered part files; the sink
+    must refuse it up front."""
+    from big_data_imdb_classifier_spark.sources import pyds
+
+    pyds.register(spark)
+    out = str(tmp_path / "jsonl_append")
+    df = spark.range(0, 10, 1, 1)
+    df.write.format("jsonl_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    with pytest.raises(Exception, match="overwrite"):
+        df.write.format("jsonl_sink").option("path", out).mode(
+            "append"
+        ).save()

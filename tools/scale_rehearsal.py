@@ -66,6 +66,7 @@ EVENT_QUERIES = [
     "event_transition_matrix",
     "user_event_type_profile",
     "sketch_rollup_daily_users",
+    "cogroup_click_attribution",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
