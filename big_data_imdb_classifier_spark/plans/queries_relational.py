@@ -1240,3 +1240,82 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_blank"
         ),
     )
+
+
+@query(
+    "sql_pipe_syntax_rollup",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 / the SQL:2023 `|>` operator chain):
+    the same filtered rollup a classic SELECT expresses, written as a
+    linear dataflow — scan |> filter |> aggregate |> order. Exercised
+    through spark.sql so the engine's SQL front door (not just the
+    DataFrame DSL) is under the oracle gate; Catalyst compiles both
+    syntaxes to the identical plan, which the hash-match proves."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM v_pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "collation_case_insensitive_count",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT p_brand,
+        CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END AS t
+      FROM part
+    )
+    SELECT p_brand,
+      count(*)::BIGINT AS n_rows,
+      count(DISTINCT t)::BIGINT AS n_distinct_binary,
+      count(DISTINCT lower(t))::BIGINT AS n_distinct_ci
+    FROM mixed GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def collation_case_insensitive_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """String COLLATIONS (Spark 4): distinct-counting a mixed-case
+    column under the binary collation vs UTF8_LCASE. The engine side
+    uses a real collated column — comparison semantics move INTO the
+    type, where every operator (GROUP BY, DISTINCT, joins) picks them up
+    consistently — while the oracle mirrors with lower(); the case
+    variation is synthesized deterministically (even part keys
+    uppercased) so ci < binary is guaranteed and hash-pinned."""
+    part = load_table(spark, sf_dir, "part")
+    mixed = part.select(
+        "p_brand",
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.col("p_type"))
+        .alias("t"),
+    )
+    return (
+        mixed.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("t").alias("n_distinct_binary"),
+            F.countDistinct(F.collate("t", "UTF8_LCASE")).alias(
+                "n_distinct_ci"
+            ),
+        )
+        .orderBy("p_brand")
+    )
