@@ -27,6 +27,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -68,6 +69,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
+    def streamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -86,12 +90,66 @@ class SyntheticEventsReader(DataSourceReader):
         lo = self.rows * i // self.num_partitions
         hi = self.rows * (i + 1) // self.num_partitions
         for rid in range(lo, hi):
-            h = splitmix64(rid ^ (self.seed * 0x9E3779B97F4A7C15 & _MASK))
-            ts = _EPOCH + _dt.timedelta(seconds=h % (30 * 86400))
-            user = (h >> 24) % self.users
-            etype = EVENT_TYPES[(h >> 8) % len(EVENT_TYPES)]
-            value = round(((h >> 16) % 100000) / 100.0, 2)
-            yield (rid, ts, user, etype, value)
+            yield _row_for(rid, self.seed, self.users)
+
+
+def _row_for(rid: int, seed: int, users: int) -> tuple:
+    """One deterministic event row — shared by the batch and stream
+    readers so a drained stream equals the equivalent batch read."""
+    h = splitmix64(rid ^ (seed * 0x9E3779B97F4A7C15 & _MASK))
+    ts = _EPOCH + _dt.timedelta(seconds=h % (30 * 86400))
+    user = (h >> 24) % users
+    etype = EVENT_TYPES[(h >> 8) % len(EVENT_TYPES)]
+    value = round(((h >> 16) % 100000) / 100.0, 2)
+    return (rid, ts, user, etype, value)
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Streaming half of the Python DataSource API (Spark 4,
+    partition-planned — NOT the driver-side SimpleStreamReader): offsets
+    are plain row counts, each micro-batch covers [start, end) split
+    into executor-side row ranges, and rows come from the same
+    splitmix64 function as the batch reader — so a fully drained stream
+    is byte-identical to the batch read of the same row count
+    (tests/test_sources.py pins this).
+
+    ``rows_per_batch`` bounds each micro-batch; ``max_rows`` bounds the
+    stream so availableNow drains terminate. Restart-safety comes free:
+    the checkpointed offset IS the row count, and generation is a pure
+    function of (seed, row_id)."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        self.max_rows = int(options.get("max_rows", 10_000))
+        self.num_partitions = int(options.get("partitions", 8))
+        self.seed = int(options.get("seed", 0))
+        self.users = int(options.get("users", 100))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.rows_per_batch, self.max_rows)
+        return {"row": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        n = self.num_partitions
+        bounds = [lo + (hi - lo) * i // n for i in range(n + 1)]
+        return [
+            InputPartition((bounds[i], bounds[i + 1]))
+            for i in range(n)
+            if bounds[i] < bounds[i + 1]
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        lo, hi = partition.value
+        for rid in range(lo, hi):
+            yield _row_for(rid, self.seed, self.users)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up: generation is pure
 
 
 class JsonLinesSinkDataSource(DataSource):

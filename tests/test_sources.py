@@ -466,3 +466,49 @@ def test_jsonl_sink_rejects_append(spark, tmp_path):
         df.write.format("jsonl_sink").option("path", out).mode(
             "append"
         ).save()
+
+
+def test_synthetic_events_stream_matches_batch(spark):
+    """Streaming half of the Python DataSource: an availableNow drain of
+    the synthetic stream (micro-batched by rows_per_batch) must equal
+    the batch read of the same row count, byte for byte."""
+    from big_data_imdb_classifier_spark.sources import pyds
+
+    pyds.register(spark)
+    n = 3000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 700)   # uneven: forces 5 micro-batches
+        .option("max_rows", n)
+        .option("partitions", 4)
+        .option("seed", 7)
+        .load()
+    )
+    # incremental offsets need a recurring trigger (availableNow asks
+    # latestOffset once and would drain a single micro-batch)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("syn_stream")
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table("syn_stream").count() >= n:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    got = spark.table("syn_stream")
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("rows", n)
+        .option("partitions", 4)
+        .option("seed", 7)
+        .load()
+    )
+    assert got.count() == n
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
