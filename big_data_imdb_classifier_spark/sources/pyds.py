@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -182,6 +183,12 @@ class JsonLinesSinkDataSource(DataSource):
             )
         return JsonLinesWriter(path, [f.name for f in schema.fields], overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonLinesStreamWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_sink requires a 'path' option")
+        return JsonLinesStreamWriter(path, [f.name for f in schema.fields])
+
 
 class PartitionCount(WriterCommitMessage):
     """Picklable per-partition row-count commit message."""
@@ -224,6 +231,66 @@ class JsonLinesWriter(DataSourceWriter):
         # task never leaves a half-written visible file
         os.rename(tmp, os.path.join(self.path, f"part-{pid:05d}.jsonl"))
         return PartitionCount(pid, n)
+
+
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """Streaming write half of the Python DataSource API: each
+    micro-batch's tasks write attempt-unique tmp files; COMMIT (driver,
+    after every task of the batch succeeded) renames them into place as
+    part-{batch}-{partition}.jsonl, and ABORT deletes the orphans — the
+    same two-phase protocol a real exactly-once export connector
+    implements (files named per (batch, partition) make replayed batches
+    overwrite their own output instead of duplicating it)."""
+
+    def __init__(self, path: str, cols: Sequence[str]) -> None:
+        self.path = path
+        self.cols = list(cols)
+
+    def write(self, iterator: Iterator) -> "WriterCommitMessage":
+        import json
+        import os
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f"_tmp-stream-{pid:05d}-{ctx.taskAttemptId()}.jsonl"
+        )
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                rec = {c: row[i] for i, c in enumerate(self.cols)}
+                fh.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return StreamPartFile(pid, tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                self.path, f"part-{batchId:05d}-{m.partition_id:05d}.jsonl"
+            )
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class StreamPartFile(WriterCommitMessage):
+    """Picklable (partition, tmp file, row count) commit message."""
+
+    def __init__(self, partition_id: int, tmp_path: str, count: int) -> None:
+        self.partition_id = partition_id
+        self.tmp_path = tmp_path
+        self.count = count
 
 
 def register(spark) -> None:

@@ -512,3 +512,54 @@ def test_synthetic_events_stream_matches_batch(spark):
     assert got.count() == n
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_jsonl_stream_writer_round_trip(spark, tmp_path):
+    """Streaming write half of the Python DataSource: synthetic stream →
+    jsonl_sink via writeStream; committed part files carry every row
+    exactly once across micro-batches."""
+    from big_data_imdb_classifier_spark.sources import pyds
+
+    pyds.register(spark)
+    out = str(tmp_path / "jsonl_stream_out")
+    n = 2000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 600)
+        .option("max_rows", n)
+        .option("partitions", 3)
+        .option("seed", 11)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    import glob
+    import time as _time
+
+    deadline = _time.time() + 120
+
+    def _rows():
+        back = spark.read.json(out) if glob.glob(out + "/part-*") else None
+        return back.count() if back is not None else 0
+
+    while _time.time() < deadline and _rows() < n:
+        _time.sleep(0.5)
+    q.stop()
+
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("rows", n)
+        .option("partitions", 3)
+        .option("seed", 11)
+        .load()
+    )
+    back = spark.read.schema(batch.schema).json(out)
+    assert back.count() == n
+    assert back.exceptAll(batch).count() == 0
+    assert batch.exceptAll(back).count() == 0
+    assert not glob.glob(out + "/_tmp-*")  # no orphan tmp files
