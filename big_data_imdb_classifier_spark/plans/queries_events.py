@@ -805,9 +805,15 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    # Per-side column names are made UNIQUE (c_ts vs p_ts): both sides
+    # derive from the same scan, and sharing the 'ts' attribute across
+    # the cogroup children can get one side's copy pruned away (the
+    # Python function's column use is invisible to the optimizer).
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_eid")
     )
 
     def attribute(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -816,9 +822,9 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["user_id", "n_purchases", "attributed_clicks",
                          "max_interval_clicks"]
             )
-        p = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        pts = p["ts"].to_numpy()
-        cts = np.sort(cdf["ts"].to_numpy()) if len(cdf) else np.array(
+        p = pdf.sort_values(["p_ts", "p_eid"], kind="mergesort")
+        pts = p["p_ts"].to_numpy()
+        cts = np.sort(cdf["c_ts"].to_numpy()) if len(cdf) else np.array(
             [], dtype=pts.dtype
         )
         # clicks strictly before this purchase...
