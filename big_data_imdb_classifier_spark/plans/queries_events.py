@@ -764,9 +764,10 @@ def event_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT user_id, ts,
         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND user_id < 300
     ),
-    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    c AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'click' AND user_id < 300),
     per_purchase AS (
       SELECT p.user_id,
         (SELECT count(*) FROM c
@@ -809,10 +810,18 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive from the same scan, and sharing the 'ts' attribute across
     # the cogroup children can get one side's copy pruned away (the
     # Python function's column use is invisible to the optimizer).
-    clicks = ev.where(F.col("event_type") == "click").select(
+    # Demo bounded to a user subset (like udtf_token_rle): cogroup calls
+    # Python once per key, so many tiny groups pay per-call overhead —
+    # measured ~9 ms/group. For the full-corpus form of this exact
+    # semantic, the JVM range-join twin
+    # (event_range_join_clicks_before_purchase) is the scale path;
+    # cogroup earns its keep when the per-group logic is genuinely
+    # imperative and the groups are substantial.
+    bounded = ev.where(F.col("user_id") < 300)
+    clicks = bounded.where(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("c_ts")
     )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
+    purchases = bounded.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_eid")
     )
 
