@@ -861,3 +861,71 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("user_id")
+
+
+_TS_QUERY_USER = 0
+_TS_MIN_OVERLAP = 20
+_TS_TOP_K = 10
+
+
+@query(
+    "ts_user_similarity_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    q AS (SELECT day, v AS qv FROM daily WHERE user_id = {_TS_QUERY_USER}),
+    sims AS (
+      SELECT d.user_id, corr(d.v, q.qv) AS c,
+             count(*)::BIGINT AS n_days
+      FROM daily d JOIN q ON d.day = q.day
+      WHERE d.user_id <> {_TS_QUERY_USER}
+      GROUP BY d.user_id
+      HAVING count(*) >= {_TS_MIN_OVERLAP}
+    )
+    SELECT user_id, round(c, {ROUND_DIGITS}) AS sim, n_days
+    FROM sims
+    ORDER BY round(c, {ROUND_DIGITS}) DESC, user_id
+    LIMIT {_TS_TOP_K}
+    """,
+)
+def ts_user_similarity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES similarity search (the distributed-streams shape of
+    EDBT'19-style similarity search, on aligned calendar buckets):
+    which users' daily activity profiles correlate most with a query
+    user's? Series are day-aggregated per user, aligned by joining on
+    the calendar day, scored with Pearson correlation as a single
+    aggregate, overlap-gated (≥ 20 shared days — correlation over a
+    handful of points is noise), and top-k'd.
+
+    Scale shape: the daily reduce is a (user, day) partial+final hash
+    aggregate; the query user's series is one row per day — a broadcast
+    — so every candidate's score costs one pass over its OWN daily rows
+    (no user×user pair blowup: candidate scoring is embarrassingly
+    parallel over users). Ordering on the ROUNDED score keeps the top-k
+    cutoff deterministic across engines' corr() accumulation orders."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("v"))
+    q = daily.where(F.col("user_id") == _TS_QUERY_USER).select(
+        "day", F.col("v").alias("qv")
+    )
+    sims = (
+        daily.where(F.col("user_id") != _TS_QUERY_USER)
+        .join(F.broadcast(q), "day")
+        .groupBy("user_id")
+        .agg(
+            F.corr("v", "qv").alias("c"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .where(F.col("n_days") >= _TS_MIN_OVERLAP)
+    )
+    return (
+        sims.select(
+            "user_id", F.round("c", ROUND_DIGITS).alias("sim"), "n_days"
+        )
+        .orderBy(F.desc("sim"), F.asc("user_id"))
+        .limit(_TS_TOP_K)
+    )

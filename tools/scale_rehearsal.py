@@ -67,6 +67,7 @@ EVENT_QUERIES = [
     "user_event_type_profile",
     "sketch_rollup_daily_users",
     "cogroup_click_attribution",
+    "ts_user_similarity_corr",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
