@@ -255,3 +255,83 @@ def ml_rf_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("label", "prediction")
     )
+
+
+@query(
+    "ml_lr_embedding_gate",
+    oracle="""
+    SELECT TRUE AS auc_ge_floor, TRUE AS acc_beats_majority,
+           TRUE AS probs_are_probabilities,
+           CAST(64 AS BIGINT) AS n_features
+    """,
+)
+def ml_lr_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second model family under the driver gate: LOGISTIC REGRESSION
+    over the embeddings table (64-dim float vectors, integer labels) —
+    the GLM path of MLlib alongside the reference's tree ensemble
+    (fast distributed GLM fitting is the standard MLlib workhorse;
+    cf. 'MLlib*: Fast Training of GLMs Using Spark MLlib', ICDE'19).
+    The table's label column is synthetic-random (nearest-neighbor
+    same-label rate ≈ chance — measured 10.8% over 10 classes), so
+    predictive floors against it would gate nothing; the target is
+    instead DERIVED from the features (sign of the first embedding
+    component) — deterministic, and genuinely learnable by a linear
+    model. Deterministic hash split (same md5-bucket rule as
+    sample_by_hash, 80/20), fit on train, invariants asserted in-query
+    against constant-TRUE oracle columns: hold-out AUC ≥ 0.9 on the
+    learnable target, accuracy beats the majority baseline, and
+    predicted probabilities are valid [0, 1]. An LBFGS/feature-pipeline
+    regression fails the driver's hash gate, not just pytest."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    data = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+        (F.element_at("embedding", 1) > 0).cast("double").alias("label"),
+        "vec_id",
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(10),
+    )
+    train = data.where(bucket < 8)
+    test = data.where(bucket >= 8).persist()
+
+    lr = LogisticRegression(maxIter=50, regParam=0.01, standardization=True)
+    model = lr.fit(train)
+    preds = model.transform(test).persist()
+
+    auc = BinaryClassificationEvaluator(
+        metricName="areaUnderROC"
+    ).evaluate(preds)
+    row = preds.agg(
+        F.avg((F.col("label") == F.col("prediction")).cast("double")).alias(
+            "_acc"
+        ),
+        F.greatest(F.avg("label"), 1 - F.avg("label")).alias("_maj"),
+        F.count(
+            F.when(
+                (F.element_at(vector_to_array("probability"), 1) < 0)
+                | (F.element_at(vector_to_array("probability"), 1) > 1),
+                1,
+            )
+        ).alias("_bad_probs"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                auc >= 0.9,
+                row["_acc"] >= row["_maj"] - 1e-9,
+                row["_bad_probs"] == 0,
+                model.numFeatures,
+            )
+        ],
+        "auc_ge_floor boolean, acc_beats_majority boolean, "
+        "probs_are_probabilities boolean, n_features long",
+    )
