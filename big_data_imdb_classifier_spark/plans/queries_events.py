@@ -929,3 +929,77 @@ def ts_user_similarity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("user_id"))
         .limit(_TS_TOP_K)
     )
+
+
+@query(
+    "event_retention_cohorts",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+        CAST(datediff('week', f.cohort, date_trunc('week', e.ts)) AS BIGINT)
+          AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    ),
+    cohort_size AS (
+      SELECT cohort, count(*) AS n0 FROM first_seen GROUP BY cohort
+    )
+    SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort,
+      a.week_offset,
+      count(*)::BIGINT AS n_active,
+      round(count(*) * 1.0 / any_value(s.n0), {ROUND_DIGITS})
+        AS retention
+    FROM activity a JOIN cohort_size s ON a.cohort = s.cohort
+    GROUP BY a.cohort, a.week_offset
+    ORDER BY cohort, week_offset
+    """,
+)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    users grouped by first-seen week, and for every (cohort, weeks-since)
+    cell the count and fraction of the cohort still active. Output is
+    the triangle a retention heatmap plots.
+
+    Scale shape: first-seen is one user-keyed aggregate; activity
+    dedup (user, week) rides the SAME user partitioning through the
+    cohort join (co-partitioned, no extra exchange); cohort sizes are a
+    weeks-sized frame folded back by broadcast. Everything after the
+    per-user reduce operates on (user × active-week) rows — the corpus
+    is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.datediff(F.col("w"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    cohort_size = first_seen.groupBy("cohort").agg(F.count("*").alias("n0"))
+    return (
+        activity.join(F.broadcast(cohort_size), "cohort")
+        .groupBy("cohort", "week_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(
+                F.count(F.lit(1)) / F.any_value("n0"), ROUND_DIGITS
+            ).alias("retention"),
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "week_offset",
+            "n_active",
+            "retention",
+        )
+        .orderBy("cohort", "week_offset")
+    )

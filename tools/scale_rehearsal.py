@@ -68,6 +68,7 @@ EVENT_QUERIES = [
     "sketch_rollup_daily_users",
     "cogroup_click_attribution",
     "ts_user_similarity_corr",
+    "event_retention_cohorts",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
