@@ -1003,3 +1003,81 @@ def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_offset")
     )
+
+
+@query(
+    "user_rfm_segments",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS now FROM events),
+    rfm AS (
+      SELECT user_id,
+        CAST(datediff('day', max(ts), (SELECT now FROM mx)) AS BIGINT) AS r,
+        count(*) AS f,
+        sum(value) AS m
+      FROM events GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(r, [1.0/3, 2.0/3]) AS rc,
+             quantile_cont(f, [1.0/3, 2.0/3]) AS fc,
+             quantile_cont(m, [1.0/3, 2.0/3]) AS mc
+      FROM rfm
+    )
+    SELECT
+      len(list_filter(rc, x -> r > x)) AS r_seg,
+      len(list_filter(fc, x -> f > x)) AS f_seg,
+      len(list_filter(mc, x -> m > x)) AS m_seg,
+      count(*)::BIGINT AS n_users,
+      round(avg(m), {ROUND_DIGITS}) AS mean_monetary
+    FROM rfm, cuts
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value rollup: per user,
+    Recency (days since last event, against the corpus max), Frequency
+    (event count), Monetary (summed value); each dimension cut into
+    terciles at EXACT interpolated percentiles and users counted per
+    (r, f, m) segment cell. Explicit percentile boundaries instead of
+    ntile(): ntile breaks ties by row order (nondeterministic across
+    partitionings/engines), while a threshold comparison sends every
+    tied user to the same side everywhere.
+
+    Scale shape: one user-keyed reduce builds the RFM frame; the six
+    cut points are ONE percentile aggregate broadcast back as a 1-row
+    frame (same shape as histogram_equidepth_price); segmentation is a
+    pure projection and the final rollup groups ≤ 27 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    rfm = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.any_value("now"), F.max("ts"))
+            .cast("long")
+            .alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum("value").alias("m"),
+        )
+    )
+    thirds = F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))
+    cuts = rfm.agg(
+        F.percentile("r", thirds).alias("rc"),
+        F.percentile("f", thirds).alias("fc"),
+        F.percentile("m", thirds).alias("mc"),
+    )
+    seg = lambda col, cut: F.size(  # noqa: E731
+        F.filter(F.col(cut), lambda x: F.col(col) > x)
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .groupBy(
+            seg("r", "rc").alias("r_seg"),
+            seg("f", "fc").alias("f_seg"),
+            seg("m", "mc").alias("m_seg"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("m"), ROUND_DIGITS).alias("mean_monetary"),
+        )
+        .orderBy("r_seg", "f_seg", "m_seg")
+    )

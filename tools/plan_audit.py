@@ -50,6 +50,7 @@ CROSS_WHITELIST = {
     "graph_copurchase_pagerank",    # single-row node-count broadcast per iter
     "histogram_equidepth_price",    # single-row decile-edge-vector broadcast
     "quality_unigram_surprisal",    # single-row LM-total + 2-sigma-cut broadcasts
+    "user_rfm_segments",            # 1-row corpus-max + tercile-cut broadcasts
 }
 
 

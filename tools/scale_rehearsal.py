@@ -69,6 +69,7 @@ EVENT_QUERIES = [
     "cogroup_click_attribution",
     "ts_user_similarity_corr",
     "event_retention_cohorts",
+    "user_rfm_segments",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
