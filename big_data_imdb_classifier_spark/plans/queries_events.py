@@ -1081,3 +1081,93 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_seg", "f_seg", "m_seg")
     )
+
+
+_ANOM_CUT = 3.0
+_ANOM_K = 1.4826  # MAD consistency constant (as stats_mad_outliers)
+
+
+@query(
+    "event_daily_anomalies",
+    oracle=f"""
+    WITH daily0 AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS n0
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT day,
+        n0 * CASE WHEN extract(day FROM day) = 1 THEN 5 ELSE 1 END AS n,
+        extract(day FROM day) = 1 AS injected
+      FROM daily0
+    ),
+    med AS (SELECT quantile_cont(n, 0.5) AS med_n FROM daily),
+    mad AS (
+      SELECT quantile_cont(abs(n - (SELECT med_n FROM med)), 0.5) AS mad_n
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n_events,
+      injected,
+      round(abs(n - (SELECT med_n FROM med))
+            / ({_ANOM_K} * (SELECT mad_n FROM mad)), {ROUND_DIGITS})
+        AS robust_z
+    FROM daily
+    WHERE abs(n - (SELECT med_n FROM med))
+          > {_ANOM_CUT} * {_ANOM_K} * (SELECT mad_n FROM mad)
+    ORDER BY day
+    """,
+)
+def event_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly detection on the daily event volume:
+    days whose counts sit more than 3 robust-z (MAD-scaled, 50%
+    breakdown point — the estimator the outliers themselves can't drag,
+    same as stats_mad_outliers) from the median. The monitoring query
+    behind ingest alerting: a collapsed feed or duplicate-delivery storm
+    shows up here before it poisons training data downstream.
+
+    The synthetic corpus has a deliberately UNIFORM daily volume (zero
+    natural anomalies at every SF), so the query plants deterministic
+    5× spikes on first-of-month days and proves the detector flags
+    exactly those (``injected`` rides along; every returned row must
+    carry it TRUE) — the same inject-then-verify harness as
+    text_pii_redact. The MAD estimator is what makes the proof
+    meaningful: ~5 planted spikes in ~150 days would already drag a
+    mean/stddev z-score's own baseline.
+
+    Scale shape: the daily reduce is the only pass over the corpus; the
+    median/MAD statistics aggregate the days-sized frame twice and fold
+    back as broadcast scalars (calendar-bounded, like the sweep-line's
+    day frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .select(
+            "day",
+            (
+                F.col("n0")
+                * F.when(F.dayofmonth("day") == 1, 5).otherwise(1)
+            ).alias("n"),
+            (F.dayofmonth("day") == 1).alias("injected"),
+        )
+    )
+    med = daily.agg(F.percentile("n", F.lit(0.5)).alias("med_n"))
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("n") - F.col("med_n")), F.lit(0.5)).alias(
+            "mad_n"
+        )
+    )
+    dev = F.abs(F.col("n") - F.col("med_n"))
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .where(dev > _ANOM_CUT * _ANOM_K * F.col("mad_n"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias("n_events"),
+            "injected",
+            F.round(dev / (_ANOM_K * F.col("mad_n")), ROUND_DIGITS).alias(
+                "robust_z"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -70,6 +70,7 @@ EVENT_QUERIES = [
     "ts_user_similarity_corr",
     "event_retention_cohorts",
     "user_rfm_segments",
+    "event_daily_anomalies",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
