@@ -11,6 +11,19 @@ Execution is forced with the ``noop`` sink (full plan runs distributed,
 nothing is collected to the driver) so timings measure the engine, not
 driver materialization. Each query gets one un-timed warm-up at sf0.001
 to exclude JVM/codegen warm-up from the numbers.
+
+Measurement protocol (round-4 hardening — the r03 ledger showed a ~1.2×
+uniform phantom drift on unchanged plans caused by background load):
+
+- IDLE GATE: before the timed sweep, if the 1-minute load average
+  exceeds ``$SPARK_GRAFT_BENCH_MAX_LOAD`` (default 4.0), wait up to
+  ``$SPARK_GRAFT_BENCH_IDLE_WAIT`` seconds (default 120) for it to
+  drop. The run proceeds either way, but the emitted JSON carries
+  ``load_1m_start`` / ``load_1m_end`` and ``idle_gate_ok`` so a
+  contaminated recording is self-identifying instead of silently noisy.
+- MEDIAN OF N: each query is timed ``$SPARK_GRAFT_BENCH_REPS`` times
+  (default 3) back-to-back and the MEDIAN is reported — a one-off
+  scheduler stall or page-cache miss no longer moves the ledger.
 """
 
 from __future__ import annotations
@@ -72,6 +85,31 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _load_1m() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platforms without getloadavg
+        return -1.0
+
+
+def _idle_gate(max_load: float, max_wait_sec: float) -> bool:
+    """Wait (bounded) for the machine to go idle; True iff the gate was
+    satisfied when the timed sweep started."""
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        load = _load_1m()
+        if load < 0 or load <= max_load:
+            return True
+        if time.monotonic() >= deadline:
+            print(
+                f"bench: idle gate NOT met (load {load} > {max_load} after "
+                f"{max_wait_sec}s) — recording anyway, annotated",
+                file=sys.stderr,
+            )
+            return False
+        time.sleep(5)
+
+
 def main() -> None:
     from big_data_imdb_classifier_spark import plans
     from big_data_imdb_classifier_spark.session import get_spark
@@ -107,10 +145,17 @@ def main() -> None:
         except Exception:
             pass
 
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "120"))
+    load_start = _load_1m()
+    idle_ok = _idle_gate(max_load, idle_wait)
+
     timings: dict[str, float] = {}
     for n in names:
         try:
-            timings[n] = round(run(n, SF_DIR), 3)
+            samples = sorted(run(n, SF_DIR) for _ in range(reps))
+            timings[n] = round(samples[len(samples) // 2], 3)
         except Exception as e:  # keep emitting numbers even if one breaks
             print(f"bench: {n} failed: {e}", file=sys.stderr)
 
@@ -120,6 +165,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "reps": reps,
+        "stat": "median",
+        "idle_gate_ok": idle_ok,
+        "load_1m_start": load_start,
+        "load_1m_end": _load_1m(),
     }
     print(json.dumps(result))
     spark.stop()

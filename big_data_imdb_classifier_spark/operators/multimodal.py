@@ -184,6 +184,111 @@ def _parse_image_header(content: bytes) -> dict | None:
     return None
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate ISO BMFF boxes as (type, body_start, body_end); tolerant
+    of truncation (stops instead of raising)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        btype = buf[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if i + 16 > end:
+                return
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def _parse_mp4_header(content: bytes) -> dict | None:
+    """Dependency-free MP4/MOV probe: walks the public ISO BMFF box tree
+    (ISO/IEC 14496-12) for ``mvhd`` (timescale/duration → duration_ms),
+    the video track's ``tkhd`` (16.16 fixed-point width/height) and
+    ``stsz`` (sample_count → n_frames). stdlib-only, same approach as
+    the PNG/JPEG/WAV parsers."""
+    head = _mp4_boxes(content, 0, len(content))
+    first = next(head, None)
+    if first is None or first[0] != b"ftyp":
+        return None
+    found: dict[bytes, bytes] = {}
+
+    def walk(start: int, end: int) -> None:
+        for btype, b0, b1 in _mp4_boxes(content, start, end):
+            if btype in _MP4_CONTAINERS:
+                walk(b0, b1)
+            elif btype in (b"mvhd", b"tkhd", b"stsz") and btype not in found:
+                found[btype] = content[b0:b1]
+
+    walk(0, len(content))
+    if b"mvhd" not in found:
+        return None
+    meta = dict(width=None, height=None, n_frames=None, fps=None,
+                duration_ms=None)
+    mv = found[b"mvhd"]
+    if len(mv) >= 4:
+        if mv[0] == 1 and len(mv) >= 32:  # v1: 8-byte times/duration
+            scale = int.from_bytes(mv[20:24], "big")
+            dur = int.from_bytes(mv[24:32], "big")
+        elif len(mv) >= 20:
+            scale = int.from_bytes(mv[12:16], "big")
+            dur = int.from_bytes(mv[16:20], "big")
+        else:
+            scale = 0
+            dur = 0
+        if scale:
+            meta["duration_ms"] = dur * 1000 // scale
+    tk = found.get(b"tkhd")
+    if tk is not None and len(tk) >= 4:
+        # width/height are the LAST 8 bytes of the fixed-layout body on
+        # both versions (v0 body 84 B, v1 body 96 B)
+        body_len = 96 if tk[0] == 1 else 84
+        if len(tk) >= body_len:
+            meta["width"] = int.from_bytes(
+                tk[body_len - 8 : body_len - 4], "big") >> 16
+            meta["height"] = int.from_bytes(
+                tk[body_len - 4 : body_len], "big") >> 16
+    sz = found.get(b"stsz")
+    if sz is not None and len(sz) >= 12:
+        meta["n_frames"] = int.from_bytes(sz[8:12], "big")
+    if meta["n_frames"] and meta["duration_ms"]:
+        meta["fps"] = round(meta["n_frames"] * 1000 / meta["duration_ms"])
+    return meta
+
+
+def _parse_avi_header(content: bytes) -> dict | None:
+    """Dependency-free AVI probe: the RIFF ``avih`` main header carries
+    µs-per-frame, total frames, and frame dimensions (little-endian
+    u32s, public AVIMAINHEADER layout)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    i = content.find(b"avih")
+    if i < 0 or i + 48 > len(content):
+        return None
+    u32 = lambda off: int.from_bytes(  # noqa: E731
+        content[i + off : i + off + 4], "little"
+    )
+    us_per_frame, n_frames = u32(8), u32(24)
+    width, height = u32(40), u32(44)
+    meta = dict(width=width or None, height=height or None,
+                n_frames=n_frames or None, fps=None, duration_ms=None)
+    if us_per_frame:
+        meta["fps"] = round(1_000_000 / us_per_frame)
+        meta["duration_ms"] = n_frames * us_per_frame // 1000
+    return meta
+
+
+def _parse_video_header(content: bytes) -> dict | None:
+    return _parse_mp4_header(content) or _parse_avi_header(content)
+
+
 def decode_real(media_type: str, content: bytes) -> dict:
     """REAL metadata decode for the formats this environment can handle
     without optional codec libraries, with library hooks where it can't:
@@ -191,8 +296,9 @@ def decode_real(media_type: str, content: bytes) -> dict:
     - image: PIL when installed; else a dependency-free header parse of
       PNG/GIF/JPEG (public container formats).
     - audio: soundfile when installed; else stdlib ``wave`` for WAV.
-    - video: requires ``av`` (no stdlib container parser is practical);
-      import-gated NotImplementedError otherwise.
+    - video: av when installed; else a dependency-free header parse of
+      MP4/MOV (ISO BMFF boxes) and AVI (RIFF avih) — dimensions, frame
+      count, fps, duration; no pixel decode.
 
     Same dict shape as ``_fake_decode`` so the mapInPandas operators are
     decoder-agnostic; unsupported payloads raise ValueError (caller maps
@@ -263,13 +369,37 @@ def decode_real(media_type: str, content: bytes) -> dict:
             raise ValueError(f"unrecognized audio container: {ex}") from ex
     if media_type == "video":
         try:
-            import av  # noqa: F401
+            import io
+
+            import av
+
+            with av.open(io.BytesIO(content)) as container:
+                vs = next(
+                    (s for s in container.streams if s.type == "video"), None
+                )
+                if vs is not None:
+                    dur = container.duration  # av time_base: µs
+                    meta.update(
+                        width=vs.codec_context.width,
+                        height=vs.codec_context.height,
+                        n_frames=vs.frames or None,
+                        fps=round(float(vs.average_rate))
+                        if vs.average_rate
+                        else None,
+                        duration_ms=dur // 1000 if dur else None,
+                    )
+                    return meta
         except ImportError:
-            raise NotImplementedError(
-                "video decode requires the 'av' package (not present in "
-                "this environment); operators use _fake_decode"
-            )
-        raise NotImplementedError("av-based video probe integration point")
+            pass
+        except Exception:
+            # av rejects corrupt containers with av.error.* (OSError
+            # subclasses) — fall through to the header parse.
+            pass
+        parsed = _parse_video_header(content)
+        if parsed is None:
+            raise ValueError("unrecognized video container")
+        meta.update(parsed)
+        return meta
     raise ValueError(f"unknown media_type {media_type!r}")
 
 

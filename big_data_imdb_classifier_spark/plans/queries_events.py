@@ -155,7 +155,7 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_sessionization",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   > INTERVAL '30 minutes'
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -164,7 +164,7 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )
@@ -188,9 +188,14 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # The running sum orders by the SAME (ts, event_id) key as the lag
+    # window: with duplicate (user_id, ts) rows an orderBy("ts")-only
+    # cumulative sum would be partition-order dependent, making session
+    # assignment nondeterministic (latent — no such duplicates in the
+    # testdata — but determinism shouldn't rest on that).
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.lag("ts").over(w_order)
@@ -200,7 +205,7 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     sessions = ev.select(
-        "user_id", "ts", "value", new_session.alias("new_session")
+        "user_id", "ts", "event_id", "value", new_session.alias("new_session")
     ).withColumn("session_id", F.sum("new_session").over(w_cum))
     return (
         sessions.groupBy("user_id", "session_id")
@@ -676,7 +681,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_session_concurrency",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   > INTERVAL '30 minutes'
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -685,7 +690,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts,
-        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     ),
@@ -731,9 +736,11 @@ def event_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     required for cross-engine determinism."""
     ev = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # (ts, event_id) cumulative ordering matches w_order — deterministic
+    # session ids under timestamp ties (see event_sessionization).
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.lag("ts").over(w_order)
@@ -743,7 +750,7 @@ def event_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     sess = (
-        ev.select("user_id", "ts", new_session.alias("new_session"))
+        ev.select("user_id", "ts", "event_id", new_session.alias("new_session"))
         .withColumn("session_id", F.sum("new_session").over(w_cum))
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
@@ -758,16 +765,21 @@ def event_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+# Coarse cogroup-key fan-in: each applyInPandas call handles one bucket
+# of users, amortizing the ~9 ms/call Python-invoke overhead that made a
+# per-user grouping 14 s at sf0.1. 64 buckets ≈ 2× local task slots.
+_ATTRIB_BUCKETS = 64
+
+
 @query(
     "cogroup_click_attribution",
-    oracle=f"""
+    oracle="""
     WITH p AS (
       SELECT user_id, ts,
         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM events WHERE event_type = 'purchase' AND user_id < 300
+      FROM events WHERE event_type = 'purchase'
     ),
-    c AS (SELECT user_id, ts FROM events
-          WHERE event_type = 'click' AND user_id < 300),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
     per_purchase AS (
       SELECT p.user_id,
         (SELECT count(*) FROM c
@@ -793,15 +805,25 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why cogroup: the per-user logic consumes TWO differently-shaped
     streams (all clicks, all purchases) at once — as a join it's the
     O(clicks × purchases)-per-user range join (the banded rewrite exists:
-    event_range_join...); as cogroup each side shuffles ONCE on user_id
-    and a vectorized searchsorted does the interval assignment per user
-    in O((C+P) log P). This completes the Python-boundary surface:
+    event_range_join...); as cogroup each side shuffles ONCE and a
+    vectorized searchsorted does the interval assignment per user in
+    O((C+P) log P). This completes the Python-boundary surface:
     scalar/grouped-agg pandas_udf, applyInPandas, mapInPandas,
     mapInArrow, UDTF, and cogrouped-map.
 
+    Scale shape — COARSE cogroup keys: grouping on raw user_id calls
+    Python once per user (~9 ms/call of Arrow+invoke overhead made the
+    full corpus 14 s at sf0.1 in round 3), so the cogroup key is a
+    user-id BUCKET (user_id % {_ATTRIB_BUCKETS}); each Python call
+    amortizes its overhead across a batch of users and the per-user
+    work inside the batch is numpy. Bucketing by a pure function of the
+    original key keeps all of a user's rows in one group, so semantics
+    are unchanged at any bucket count — tune bucket count ≈ a few × the
+    cluster's task slots at 100 TB.
+
     Cross-engine determinism: interval edges compare raw timestamps
-    (no FP); numpy searchsorted side='left'/'right' reproduces the
-    strict-< / ≥ edge semantics of the correlated-subquery oracle."""
+    (no FP); numpy searchsorted side='left' reproduces the strict-< / ≥
+    edge semantics of the correlated-subquery oracle."""
     import numpy as np
     import pandas as pd
 
@@ -810,50 +832,51 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive from the same scan, and sharing the 'ts' attribute across
     # the cogroup children can get one side's copy pruned away (the
     # Python function's column use is invisible to the optimizer).
-    # Demo bounded to a user subset (like udtf_token_rle): cogroup calls
-    # Python once per key, so many tiny groups pay per-call overhead —
-    # measured ~9 ms/group. For the full-corpus form of this exact
-    # semantic, the JVM range-join twin
-    # (event_range_join_clicks_before_purchase) is the scale path;
-    # cogroup earns its keep when the per-group logic is genuinely
-    # imperative and the groups are substantial.
-    bounded = ev.where(F.col("user_id") < 300)
-    clicks = bounded.where(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("c_ts")
+    bucket = F.pmod(F.col("user_id"), F.lit(_ATTRIB_BUCKETS)).alias("b")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        bucket, "user_id", F.col("ts").alias("c_ts")
     )
-    purchases = bounded.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_eid")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        bucket, "user_id", F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_eid"),
     )
 
     def attribute(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_purchases", "attributed_clicks",
+                "max_interval_clicks"]
         if pdf.empty:
-            return pd.DataFrame(
-                columns=["user_id", "n_purchases", "attributed_clicks",
-                         "max_interval_clicks"]
-            )
-        p = pdf.sort_values(["p_ts", "p_eid"], kind="mergesort")
-        pts = p["p_ts"].to_numpy()
-        cts = np.sort(cdf["c_ts"].to_numpy()) if len(cdf) else np.array(
-            [], dtype=pts.dtype
-        )
-        # clicks strictly before this purchase...
-        hi = np.searchsorted(cts, pts, side="left")
-        # ...and at-or-after the previous purchase (first interval: all)
-        prev = np.concatenate(([np.datetime64("1900-01-01")], pts[:-1]))
-        lo = np.searchsorted(cts, prev, side="left")
-        n_attrib = hi - lo
+            return pd.DataFrame(columns=cols)
+        # one sorted click array per user in this bucket
+        csorted = {
+            u: np.sort(g["c_ts"].to_numpy())
+            for u, g in cdf.groupby("user_id", sort=False)
+        }
+        users, n_p, n_att, n_max = [], [], [], []
+        for u, g in pdf.groupby("user_id", sort=False):
+            p = g.sort_values(["p_ts", "p_eid"], kind="mergesort")
+            pts = p["p_ts"].to_numpy()
+            cts = csorted.get(u)
+            if cts is None:
+                cts = np.array([], dtype=pts.dtype)
+            # clicks strictly before this purchase...
+            hi = np.searchsorted(cts, pts, side="left")
+            # ...and at-or-after the previous purchase (first interval:
+            # everything earlier)
+            prev = np.concatenate(([np.datetime64("1900-01-01")], pts[:-1]))
+            lo = np.searchsorted(cts, prev, side="left")
+            n_attrib = hi - lo
+            users.append(int(u))
+            n_p.append(len(pts))
+            n_att.append(int(n_attrib.sum()))
+            n_max.append(int(n_attrib.max()))
         return pd.DataFrame(
-            {
-                "user_id": [int(key[0])],
-                "n_purchases": [len(pts)],
-                "attributed_clicks": [int(n_attrib.sum())],
-                "max_interval_clicks": [int(n_attrib.max())],
-            }
+            {"user_id": users, "n_purchases": n_p,
+             "attributed_clicks": n_att, "max_interval_clicks": n_max}
         )
 
     out = (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("b")
+        .cogroup(purchases.groupBy("b"))
         .applyInPandas(
             attribute,
             "user_id long, n_purchases long, attributed_clicks long, "
@@ -1085,6 +1108,10 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANOM_CUT = 3.0
 _ANOM_K = 1.4826  # MAD consistency constant (as stats_mad_outliers)
+# Degenerate-MAD floor: integer counts make any real MAD ≥ 0.5, so 1e-9
+# only ever replaces an exact 0 (uniform volume) — keeps the cut and
+# robust_z finite and engine-identical instead of dividing by zero.
+_ANOM_EPS = 1e-9
 
 
 @query(
@@ -1108,11 +1135,13 @@ _ANOM_K = 1.4826  # MAD consistency constant (as stats_mad_outliers)
     SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n_events,
       injected,
       round(abs(n - (SELECT med_n FROM med))
-            / ({_ANOM_K} * (SELECT mad_n FROM mad)), {ROUND_DIGITS})
+            / ({_ANOM_K} * greatest((SELECT mad_n FROM mad), {_ANOM_EPS})),
+            {ROUND_DIGITS})
         AS robust_z
     FROM daily
     WHERE abs(n - (SELECT med_n FROM med))
-          > {_ANOM_CUT} * {_ANOM_K} * (SELECT mad_n FROM mad)
+          > {_ANOM_CUT} * {_ANOM_K}
+            * greatest((SELECT mad_n FROM mad), {_ANOM_EPS})
     ORDER BY day
     """,
 )
@@ -1158,14 +1187,21 @@ def event_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dev = F.abs(F.col("n") - F.col("med_n"))
+    # Degenerate-MAD guard (mirrored in the oracle): a perfectly uniform
+    # daily volume gives mad_n = 0, where an unguarded cut collapses to
+    # dev > 0 and robust_z divides by zero — Spark and DuckDB disagree
+    # on inf/NULL semantics, so the epsilon keeps both engines finite
+    # and identical. Counts are integers, so any genuine MAD is ≥ 0.5
+    # and the epsilon never distorts a real signal.
+    mad_safe = F.greatest(F.col("mad_n"), F.lit(_ANOM_EPS))
     return (
         with_med.crossJoin(F.broadcast(mad))
-        .where(dev > _ANOM_CUT * _ANOM_K * F.col("mad_n"))
+        .where(dev > _ANOM_CUT * _ANOM_K * mad_safe)
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("n").alias("n_events"),
             "injected",
-            F.round(dev / (_ANOM_K * F.col("mad_n")), ROUND_DIGITS).alias(
+            F.round(dev / (_ANOM_K * mad_safe), ROUND_DIGITS).alias(
                 "robust_z"
             ),
         )

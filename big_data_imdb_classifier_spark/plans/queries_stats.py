@@ -409,28 +409,35 @@ _ED_BINS = 10
 )
 def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQUI-DEPTH histogram (the optimizer-statistics twin of the
-    fixed-width ``histogram_price_bins``): decile edges from one exact
-    interpolated-percentile aggregate, then every row binned by how many
-    edges it exceeds — near-equal bin populations by construction, which
-    is what makes equi-depth the right shape for selectivity estimation
-    and range-partition planning over skewed columns.
+    fixed-width ``histogram_price_bins``): exact interpolated decile
+    edges, then every row binned by how many edges it exceeds —
+    near-equal bin populations by construction, which is what makes
+    equi-depth the right shape for selectivity estimation and
+    range-partition planning over skewed columns.
 
-    Two passes by necessity (edges are data-dependent), but the edge
-    vector is a single 9-double row broadcast to the binning scan —
-    same broadcast-scalar shape as heavy_hitters_suppkey; the bin
-    assignment is a JVM higher-order filter over the broadcast array,
-    and the final count groups on ≤ 10 keys so partials absorb
-    everything map-side. The edge aggregate itself buffers all values on
-    one reducer (exact order statistics; the 10× rehearsal measures it
-    at 4× wall for 10× rows) — at 100 TB compute the edges with
-    approx_percentile (mergeable GK sketch, see approx_percentile_price)
-    and keep the binning pass unchanged."""
+    The edges are computed by DISTRIBUTED exact order statistics — no
+    reducer ever buffers the column (the naive ``percentile(col,
+    array(...))`` aggregate ships every value to one ObjectHashAggregate
+    reducer, the engine's last single-reducer bottleneck before this
+    rewrite). Shape: (1) groupBy value → (value, count) — the only
+    full-data shuffle, partial aggs absorb duplicates map-side; (2)
+    range-repartition the distinct values and two-level prefix sum
+    (within-partition running count + a 32-row per-partition offset
+    frame, the sweep-line pattern from event_session_concurrency) gives
+    every distinct value its exact global rank interval [cum−c, cum);
+    (3) the ≤18 target ranks (floor/ceil of h=(n−1)p, built from the
+    1-row total via crossJoin, never collected) probe that interval with
+    a broadcast join, and linear interpolation ``lo + frac·(hi−lo)``
+    reproduces quantile_cont bit-for-bit; (4) the 9-double edge row
+    broadcasts to the binning scan — a JVM higher-order filter — and the
+    final count groups on ≤10 keys. Every stage is partial-aggregated or
+    broadcast; at 100 TB the cost is one value-shuffle of the distinct
+    domain, not an all-values sort on one task."""
     li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.array(
-        *[F.lit(i / _ED_BINS) for i in range(1, _ED_BINS)]
-    )
-    edges = li.agg(F.percentile("l_extendedprice", pcts).alias("e"))
     x = F.col("l_extendedprice")
+    edges = _distributed_quantile_edges(
+        li.select(x.alias("v")), [i / _ED_BINS for i in range(1, _ED_BINS)]
+    )
     bin_idx = F.size(F.filter(F.col("e"), lambda e: x > e))
     return (
         li.crossJoin(F.broadcast(edges))
@@ -441,6 +448,98 @@ def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(x), _R).alias("hi"),
         )
         .orderBy("bin")
+    )
+
+
+def _distributed_quantile_edges(vals: DataFrame, pcts: list) -> DataFrame:
+    """Exact interpolated quantiles (quantile_cont / F.percentile
+    semantics) of column ``v`` computed WITHOUT buffering the data on a
+    single reducer. Returns a 1-row DataFrame with an array column ``e``
+    of the quantile values in ``pcts`` order.
+
+    Rank machinery: distinct-value counts carry exact global rank
+    intervals via a two-level prefix sum (within range-partition window
+    + broadcast per-partition offsets); the 0-indexed order statistic at
+    rank k is the unique value whose interval [cum−c, cum) contains k.
+    h = (n−1)·p splits into floor/ceil ranks and the fractional weight;
+    the interpolation ``v_lo + frac·(v_hi − v_lo)`` matches DuckDB
+    quantile_cont and Spark percentile bit-for-bit (frac = 0 degenerates
+    to the exact data value on both engines)."""
+    vc = vals.groupBy("v").agg(F.count("*").alias("c"))
+    nparts = max(int(vals.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")), 1)
+    vc = (
+        vc.repartitionByRange(nparts, "v")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid").orderBy("v")
+    vc = vc.withColumn("local_cum", F.sum("c").over(w_local))
+    ptot = vc.groupBy("pid").agg(F.max("local_cum").alias("ptot"))
+    w_ofs = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # The offset frame is one row per shuffle partition (≤ a few
+    # thousand at any scale) — the single-partition window over it is a
+    # constant-size prefix sum, never data-sized.
+    ofs = ptot.withColumn(
+        "ofs", F.coalesce(F.sum("ptot").over(w_ofs), F.lit(0))
+    )
+    vc = (
+        vc.join(F.broadcast(ofs.select("pid", "ofs")), "pid")
+        .withColumn("cum", F.col("local_cum") + F.col("ofs"))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+    )
+    n_df = ofs.agg(F.sum("ptot").alias("n"))
+    spark = vals.sparkSession
+    idx = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pcts)], "i INT, p DOUBLE"
+    )
+    h = (F.col("n") - 1) * F.col("p")
+    ranks = (
+        idx.crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            F.floor(h).alias("klo"),
+            F.ceil(h).alias("khi"),
+            (h - F.floor(h)).alias("frac"),
+        )
+        .select(
+            "i",
+            "frac",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("klo").alias("k"), F.lit("lo").alias("side")
+                    ),
+                    F.struct(
+                        F.col("khi").alias("k"), F.lit("hi").alias("side")
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("i", "frac", F.col("s.k").alias("k"), F.col("s.side").alias("side"))
+    )
+    hit = vc.join(
+        F.broadcast(ranks),
+        (F.col("k") >= F.col("cum_prev")) & (F.col("k") < F.col("cum")),
+    )
+    per_pct = hit.groupBy("i", "frac").agg(
+        F.max(F.when(F.col("side") == "lo", F.col("v"))).alias("vlo"),
+        F.max(F.when(F.col("side") == "hi", F.col("v"))).alias("vhi"),
+    )
+    return (
+        per_pct.select(
+            "i",
+            (
+                F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo"))
+            ).alias("edge"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "edge"))
+            ).alias("s")
+        )
+        .select(F.transform("s", lambda t: t.edge).alias("e"))
     )
 
 

@@ -115,9 +115,18 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     (tests/test_sources.py pins this).
 
     ``rows_per_batch`` bounds each micro-batch; ``max_rows`` bounds the
-    stream so availableNow drains terminate. Restart-safety comes free:
-    the checkpointed offset IS the row count, and generation is a pure
-    function of (seed, row_id)."""
+    stream so availableNow drains terminate. Restart behavior: row
+    CONTENT is restart-safe (generation is a pure function of
+    (seed, row_id) and the checkpointed offset IS the row count), and
+    the reader re-learns the committed high-water mark from the offsets
+    Spark passes to ``partitions()`` when it replays the pending batch —
+    but a fresh reader instance has no access to the offset log itself,
+    so on the no-pending-batch restart path ``latestOffset()`` can
+    briefly lag the committed offset (empty batches until it catches
+    up). Fine for its role — tests and demos of the DataSource API —
+    not a durable production source; a real connector derives
+    latestOffset from the external system, which this synthetic source
+    deliberately lacks."""
 
     def __init__(self, options: dict) -> None:
         self.rows_per_batch = int(options.get("rows_per_batch", 1000))
@@ -125,17 +134,23 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         self.num_partitions = int(options.get("partitions", 8))
         self.seed = int(options.get("seed", 0))
         self.users = int(options.get("users", 100))
-        self._latest = 0
+        self._hwm = 0  # highest offset seen (advanced by latestOffset,
+        # re-learned from the offset log via partitions() after restart)
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
     def latestOffset(self) -> dict:
-        self._latest = min(self._latest + self.rows_per_batch, self.max_rows)
-        return {"row": self._latest}
+        self._hwm = min(self._hwm + self.rows_per_batch, self.max_rows)
+        return {"row": self._hwm}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["row"], end["row"]
+        # Restart path: Spark replans the pending batch with offsets
+        # from its log; fold them into the high-water mark so the next
+        # latestOffset() continues FROM the committed position instead
+        # of restarting at rows_per_batch and re-emitting caught-up rows.
+        self._hwm = max(self._hwm, lo, hi)
         n = self.num_partitions
         bounds = [lo + (hi - lo) * i // n for i in range(n + 1)]
         return [

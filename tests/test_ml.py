@@ -78,6 +78,48 @@ def test_feature_importances_named_and_normalized(spark):
     assert imp["max_extprice"] + imp["sum_qty"] > imp["o_orderpriority_index"]
 
 
+def test_split_frames_deterministic_and_disjoint(spark):
+    """The md5-bucket split is an exact partition of the frame, stable
+    across evaluations (no RNG state — the property randomSplit lacks)."""
+    df = QM.training_frame(spark, SF_SMOKE)
+    train, test = QM.split_frames(df)
+    total = df.count()
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == total
+    assert train.join(test, "o_orderkey", "inner").count() == 0
+    train2, test2 = QM.split_frames(df)
+    assert train2.count() == n_train and test2.count() == n_test
+    # roughly 80/20 (md5 buckets are uniform)
+    assert 0.7 < n_train / total < 0.9
+
+
+def test_model_disk_cache_roundtrip(spark, tmp_path, monkeypatch):
+    """The S8 disk cache: a fresh lookup (cleared session cache) loads
+    the persisted model WITHOUT refitting and reproduces the fresh
+    fit's predictions exactly — same contract as
+    test_model_save_load_roundtrip, but through the query-layer cache."""
+    monkeypatch.setattr(QM, "_CACHE_ROOT", str(tmp_path / "mlcache"))
+    QM._model_cache.clear()
+    model1, n_tr1, n_te1, preds1 = QM._fitted(spark, SF_SMOKE)
+    rows1 = sorted(map(tuple, preds1.collect()))
+
+    QM._model_cache.clear()
+
+    def _refit_forbidden(*a, **k):
+        raise AssertionError("refit happened despite a valid disk cache")
+
+    monkeypatch.setattr(MLP, "train", _refit_forbidden)
+    model2, n_tr2, n_te2, preds2 = QM._fitted(spark, SF_SMOKE)
+    assert (n_tr1, n_te1) == (n_tr2, n_te2)
+    assert sorted(map(tuple, preds2.collect())) == rows1
+
+    test_df = QM.split_frames(QM.training_frame(spark, SF_SMOKE))[1]
+    a = model1.transform(test_df).select("o_orderkey", "prediction").collect()
+    b = model2.transform(test_df).select("o_orderkey", "prediction").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    QM._model_cache.clear()
+
+
 def test_rf_hyperparameter_tuning_surface(spark):
     """TrainValidationSplit over a small grid: returns one metric per
     grid point, best model predicts, and the best metric is the max."""

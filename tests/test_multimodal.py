@@ -148,16 +148,80 @@ def test_real_decode_wav():
     assert meta["channels"] == 2
 
 
-def test_real_decode_rejects_garbage_and_gates_video():
+def _box(tag, body):
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _mp4_bytes(width=640, height=360, timescale=1000, duration=2500,
+               n_frames=60, mvhd_version=0):
+    """Minimal structurally-valid MP4 built from stdlib struct: ftyp +
+    moov(mvhd + trak(tkhd + mdia(minf(stbl(stsz)))))."""
+    import struct
+
+    if mvhd_version == 1:
+        mvhd = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+                + b"\x00" * 80)
+    else:
+        mvhd = (b"\x00" * 4 + b"\x00" * 8
+                + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    tkhd = (b"\x00" * 76  # v0 fixed layout up to width/height
+            + struct.pack(">II", width << 16, height << 16))
+    stsz = b"\x00" * 4 + struct.pack(">II", 0, n_frames)
+    stbl = _box(b"stbl", _box(b"stsz", stsz))
+    trak = _box(b"trak", _box(b"tkhd", tkhd)
+                + _box(b"mdia", _box(b"minf", stbl)))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def _avi_bytes(width=320, height=240, us_per_frame=40000, n_frames=100):
+    import struct
+
+    avih = struct.pack(
+        "<10I", us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height
+    ) + b"\x00" * 16
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def test_real_decode_mp4_header():
+    meta = MM.decode_real("video", _mp4_bytes(
+        width=640, height=360, timescale=1000, duration=2500, n_frames=60))
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert meta["duration_ms"] == 2500
+    assert meta["n_frames"] == 60
+    assert meta["fps"] == 24  # 60 frames / 2.5 s
+    # 64-bit mvhd (version 1) variant
+    meta = MM.decode_real("video", _mp4_bytes(
+        width=1920, height=1080, timescale=600, duration=1200,
+        n_frames=48, mvhd_version=1))
+    assert (meta["width"], meta["height"]) == (1920, 1080)
+    assert meta["duration_ms"] == 2000
+
+
+def test_real_decode_avi_header():
+    meta = MM.decode_real("video", _avi_bytes(
+        width=320, height=240, us_per_frame=40000, n_frames=100))
+    assert (meta["width"], meta["height"]) == (320, 240)
+    assert meta["fps"] == 25
+    assert meta["duration_ms"] == 4000
+    assert meta["n_frames"] == 100
+
+
+def test_real_decode_rejects_garbage():
     with pytest.raises(ValueError):
         MM.decode_real("image", b"\x89PNG")  # truncated container
     with pytest.raises(ValueError):
         MM.decode_real("audio", b"not audio at all")
-    try:
-        import av  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            MM.decode_real("video", b"anything")
+    with pytest.raises(ValueError):
+        MM.decode_real("video", b"not a video container")
+    with pytest.raises(ValueError):
+        # a lone ftyp with a truncated moov must not crash the parser
+        MM.decode_real("video", _mp4_bytes()[:40])
 
 
 def test_decode_metadata_with_real_decoder_over_real_payloads(spark):
@@ -168,7 +232,10 @@ def test_decode_metadata_with_real_decoder_over_real_payloads(spark):
         (2, "audio", bytearray(_wav_bytes(rate=8000, n_frames=4000))),
         (3, "image", bytearray(b"corrupt-not-a-png")),
         (4, "audio", bytearray(b"RIFF")),  # truncated: wave raises EOFError
-        (5, "video", bytearray(b"\x00" * 32)),  # no codec -> NotImplementedError
+        (5, "video", bytearray(b"\x00" * 32)),  # unrecognized container
+        (6, "video", bytearray(_mp4_bytes(width=256, height=128,
+                                          timescale=100, duration=300,
+                                          n_frames=9))),
     ]
     corpus = spark.createDataFrame(
         rows, "doc_id long, media_type string, content binary"
@@ -181,8 +248,10 @@ def test_decode_metadata_with_real_decoder_over_real_payloads(spark):
     assert (got[2].sample_rate, got[2].duration_ms) == (8000, 500)
     assert got[3].width is None and got[3].sample_rate is None
     assert got[3].byte_len == len(b"corrupt-not-a-png")
-    # truncated RIFF (EOFError inside stdlib wave) and a codec-less
-    # modality (NotImplementedError) both degrade to null metadata
-    # instead of failing the task
+    # truncated RIFF (EOFError inside stdlib wave) and an unrecognized
+    # video container both degrade to null metadata instead of failing
+    # the task; a genuine MP4 decodes through the header probe
     assert got[4].sample_rate is None and got[4].byte_len == 4
     assert got[5].width is None and got[5].n_frames is None
+    assert (got[6].width, got[6].height) == (256, 128)
+    assert got[6].duration_ms == 3000 and got[6].n_frames == 9

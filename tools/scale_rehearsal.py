@@ -312,10 +312,12 @@ def main() -> None:
             else os.path.join(SF01_DIR, f"{t}.parquet")
         )
         # re-point stale links (a table may graduate from real to
-        # fabricated between runs)
+        # fabricated between runs); lexists, not exists — a DANGLING
+        # link (target cleaned from /tmp) must be replaced, not crash
+        # os.symlink with FileExistsError
         if os.path.islink(link) and os.readlink(link) != target:
             os.remove(link)
-        if not os.path.exists(link):
+        if not os.path.lexists(link):
             os.symlink(target, link)
 
     def run(name: str, sf_dir: str) -> float:
