@@ -25,7 +25,10 @@ import argparse
 import sys
 import time
 
+from .logger import get_logger
+
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+log = get_logger(__name__)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -62,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.query not in plans.QUERIES:
         matches = sorted(n for n in plans.QUERIES if args.query in n)
         hint = f"; close matches: {', '.join(matches[:5])}" if matches else ""
-        print(f"unknown query: {args.query}{hint}", file=sys.stderr)
+        log.error("unknown query: %s%s", args.query, hint)
         return 2
 
     from .session import get_spark
@@ -76,12 +79,12 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
-        print(f"wrote {args.out}", file=sys.stderr)
+        log.info("wrote %s", args.out)
     elif args.noop:
         df.write.format("noop").mode("overwrite").save()
     else:
         df.show(args.show if args.show is not None else 20, truncate=False)
-    print(f"{args.query}: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+    log.info("%s: %.3fs", args.query, time.perf_counter() - t0)
     spark.stop()
     return 0
 

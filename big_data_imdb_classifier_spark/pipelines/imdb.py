@@ -57,7 +57,10 @@ from ..sources.schemas import (
     IMDB_WRITING_SCHEMA,
     imdb_train_schema,
 )
+from ..logger import get_logger
 from ..sources.sinks import save_predictions_txt
+
+log = get_logger(__name__)
 
 NUMERIC_COLS = ["runtimeMinutes", "numVotes"]
 CATEGORICAL_COLS = ["writer", "director", "genre", "decade"]
@@ -271,16 +274,20 @@ def run_imdb(
     extra_csv_path: str | None = None,
 ) -> DataFrame:
     """Full train→predict→TXT workflow. Returns the prediction frame."""
+    log.info("loading IMDB data from %s (test split: %s)", data_dir, test_name)
     data = load_imdb(
         spark, data_dir, test_name=test_name, extra_csv_path=extra_csv_path
     )
     train_df, test_df = build_features(spark, data)
     spec = SPEC_WITH_TMDB if data.extra is not None else SPEC
+    log.info("fitting pipeline (%d features)", len(spec.feature_cols))
     model: PipelineModel = MLP.train(spec, train_df)
     if model_path:
         MLP.save_model(model, model_path)
+        log.info("saved model to %s", model_path)
     preds = model.transform(test_df).select("tconst", "prediction")
     save_predictions_txt(preds, out_path, order_col="tconst")
+    log.info("wrote predictions to %s", out_path)
     return preds
 
 

@@ -828,16 +828,18 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
-    # Per-side column names are made UNIQUE (c_ts vs p_ts): both sides
-    # derive from the same scan, and sharing the 'ts' attribute across
-    # the cogroup children can get one side's copy pruned away (the
-    # Python function's column use is invisible to the optimizer).
+    # EVERY per-side column name is made unique (c_uid/c_ts vs
+    # p_uid/p_ts): both sides derive from the same scan, and sharing an
+    # attribute across the cogroup children can get one side's copy
+    # pruned away (the Python function's column use is invisible to the
+    # optimizer — observed live: the purchases side arrived without
+    # user_id when both sides carried the same user_id attribute).
     bucket = F.pmod(F.col("user_id"), F.lit(_ATTRIB_BUCKETS)).alias("b")
     clicks = ev.where(F.col("event_type") == "click").select(
-        bucket, "user_id", F.col("ts").alias("c_ts")
+        bucket, F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        bucket, "user_id", F.col("ts").alias("p_ts"),
+        bucket, F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"),
         F.col("event_id").alias("p_eid"),
     )
 
@@ -849,10 +851,10 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one sorted click array per user in this bucket
         csorted = {
             u: np.sort(g["c_ts"].to_numpy())
-            for u, g in cdf.groupby("user_id", sort=False)
+            for u, g in cdf.groupby("c_uid", sort=False)
         }
         users, n_p, n_att, n_max = [], [], [], []
-        for u, g in pdf.groupby("user_id", sort=False):
+        for u, g in pdf.groupby("p_uid", sort=False):
             p = g.sort_values(["p_ts", "p_eid"], kind="mergesort")
             pts = p["p_ts"].to_numpy()
             cts = csorted.get(u)

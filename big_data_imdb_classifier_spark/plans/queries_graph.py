@@ -108,8 +108,12 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the edge list is persisted so its scan+shuffle is paid once.
     Intermediate ranks round at 1e-8 so Spark's and DuckDB's float
     accumulation orders cannot diverge the hash; final ranks at 1e-4.
-    At scale, iterations extend with ``localCheckpoint`` every few rounds
-    to cut the lineage (same discipline as near-dup clustering).
+    The fixed 2-iteration unroll exists to be oracle-checkable; the
+    production form is ``operators.graph.pagerank_until`` — same
+    join+reaggregate per round, but iterating to an L1 convergence
+    tolerance with a lineage-truncating localCheckpoint every k rounds
+    (property-tested against a numpy power-iteration reference in
+    tests/test_graph.py).
     """
     li = load_table(spark, sf_dir, "lineitem")
     edges = (

@@ -39,23 +39,30 @@ _R = ROUND_DIGITS
     """,
 )
 def stats_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT linear-interpolated percentiles per group (``F.percentile``,
-    not percentile_approx): the distribution-profiling aggregate a corpus
-    audit runs. All four ranks come from ONE array-argument aggregate, so
-    the group's values are buffered and sorted once, not per-percentile
-    (4 separate aggs measured 3.2s vs 0.9s at sf0.1). One shuffle; for
-    100 TB profiling where exactness isn't required,
-    ``approx_percentile_price`` shows the mergeable-sketch path."""
+    """EXACT linear-interpolated percentiles per group — computed by the
+    DISTRIBUTED order-statistics operator (``operators.stats.
+    group_quantiles``), not the builtin ``F.percentile`` aggregate: the
+    builtin buffers and sorts every value of a group inside one
+    ObjectHashAggregate buffer, so with a 3-value grouping key each
+    final-merge reducer holds a THIRD of the fact table — fine at sf0.1,
+    an OOM at 100 TB. group_quantiles replaces that with one
+    distinct-value-counts shuffle, a per-key two-level prefix sum, and a
+    constant-size rank-probe broadcast join; results are bit-identical
+    (same interpolation as quantile_cont). For profiling where exactness
+    isn't required, ``approx_percentile_price`` shows the
+    mergeable-sketch path."""
+    from ..operators.stats import group_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
     names = ["p25_price", "p50_price", "p75_price", "p95_price"]
-    pcts = F.array(*[F.lit(p) for p in (0.25, 0.50, 0.75, 0.95)])
+    q = group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.50, 0.75, 0.95]
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(F.percentile("l_extendedprice", pcts).alias("_ps"))
-        .select(
+        q.select(
             "l_returnflag",
             *[
-                F.round(F.col("_ps")[i], _R).alias(name)
+                F.round(F.col("q")[i], _R).alias(name)
                 for i, name in enumerate(names)
             ],
         )
@@ -452,95 +459,13 @@ def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _distributed_quantile_edges(vals: DataFrame, pcts: list) -> DataFrame:
-    """Exact interpolated quantiles (quantile_cont / F.percentile
-    semantics) of column ``v`` computed WITHOUT buffering the data on a
-    single reducer. Returns a 1-row DataFrame with an array column ``e``
-    of the quantile values in ``pcts`` order.
+    """Exact interpolated global quantiles of column ``v`` WITHOUT
+    buffering the data on any reducer — thin wrapper over
+    ``operators.stats.group_quantiles`` (keys=[]); returns a 1-row frame
+    with array column ``e`` in ``pcts`` order."""
+    from ..operators.stats import group_quantiles
 
-    Rank machinery: distinct-value counts carry exact global rank
-    intervals via a two-level prefix sum (within range-partition window
-    + broadcast per-partition offsets); the 0-indexed order statistic at
-    rank k is the unique value whose interval [cum−c, cum) contains k.
-    h = (n−1)·p splits into floor/ceil ranks and the fractional weight;
-    the interpolation ``v_lo + frac·(v_hi − v_lo)`` matches DuckDB
-    quantile_cont and Spark percentile bit-for-bit (frac = 0 degenerates
-    to the exact data value on both engines)."""
-    vc = vals.groupBy("v").agg(F.count("*").alias("c"))
-    nparts = max(int(vals.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32")), 1)
-    vc = (
-        vc.repartitionByRange(nparts, "v")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    w_local = Window.partitionBy("pid").orderBy("v")
-    vc = vc.withColumn("local_cum", F.sum("c").over(w_local))
-    ptot = vc.groupBy("pid").agg(F.max("local_cum").alias("ptot"))
-    w_ofs = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    # The offset frame is one row per shuffle partition (≤ a few
-    # thousand at any scale) — the single-partition window over it is a
-    # constant-size prefix sum, never data-sized.
-    ofs = ptot.withColumn(
-        "ofs", F.coalesce(F.sum("ptot").over(w_ofs), F.lit(0))
-    )
-    vc = (
-        vc.join(F.broadcast(ofs.select("pid", "ofs")), "pid")
-        .withColumn("cum", F.col("local_cum") + F.col("ofs"))
-        .withColumn("cum_prev", F.col("cum") - F.col("c"))
-    )
-    n_df = ofs.agg(F.sum("ptot").alias("n"))
-    spark = vals.sparkSession
-    idx = spark.createDataFrame(
-        [(i, p) for i, p in enumerate(pcts)], "i INT, p DOUBLE"
-    )
-    h = (F.col("n") - 1) * F.col("p")
-    ranks = (
-        idx.crossJoin(F.broadcast(n_df))
-        .select(
-            "i",
-            F.floor(h).alias("klo"),
-            F.ceil(h).alias("khi"),
-            (h - F.floor(h)).alias("frac"),
-        )
-        .select(
-            "i",
-            "frac",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("klo").alias("k"), F.lit("lo").alias("side")
-                    ),
-                    F.struct(
-                        F.col("khi").alias("k"), F.lit("hi").alias("side")
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select("i", "frac", F.col("s.k").alias("k"), F.col("s.side").alias("side"))
-    )
-    hit = vc.join(
-        F.broadcast(ranks),
-        (F.col("k") >= F.col("cum_prev")) & (F.col("k") < F.col("cum")),
-    )
-    per_pct = hit.groupBy("i", "frac").agg(
-        F.max(F.when(F.col("side") == "lo", F.col("v"))).alias("vlo"),
-        F.max(F.when(F.col("side") == "hi", F.col("v"))).alias("vhi"),
-    )
-    return (
-        per_pct.select(
-            "i",
-            (
-                F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo"))
-            ).alias("edge"),
-        )
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("i", "edge"))
-            ).alias("s")
-        )
-        .select(F.transform("s", lambda t: t.edge).alias("e"))
-    )
+    return group_quantiles(vals, [], "v", pcts).select(F.col("q").alias("e"))
 
 
 _MAD_K = 1.4826  # consistency constant: MAD ≈ σ for normal data
@@ -583,24 +508,29 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns before imputation picks fill values.
 
     Three grouped passes by definition (median, then median of
-    deviations, then the cut) — each a single partial+final aggregate on
-    the 3-value flag key, stitched by broadcast joins of 3-row
+    deviations, then the cut), stitched by broadcast joins of 3-row
     statistics frames; the fact table is scanned three times rather than
-    cached because at 100 TB a re-scan beats evicting the working set."""
+    cached because at 100 TB a re-scan beats evicting the working set.
+    Both medians run through the DISTRIBUTED order-statistics operator
+    (``operators.stats.group_quantiles``) — the builtin ``F.percentile``
+    aggregate would buffer a third of the fact table per flag on one
+    reducer (see stats_percentiles_by_flag)."""
+    from ..operators.stats import group_quantiles
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     x = F.col("l_extendedprice")
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile(x, F.lit(0.5)).alias("med")
+    med = group_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.5]).select(
+        "l_returnflag", F.col("q")[0].alias("med")
+    )
+    devs = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med", F.abs(x - F.col("med")).alias("_dev")
     )
     mad = (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.any_value("med").alias("med"),
-            F.percentile(F.abs(x - F.col("med")), F.lit(0.5)).alias("mad"),
-        )
+        group_quantiles(devs, ["l_returnflag"], "_dev", [0.5])
+        .select("l_returnflag", F.col("q")[0].alias("mad"))
+        .join(F.broadcast(med), "l_returnflag")
     )
     is_out = F.abs(x - F.col("med")) > _MAD_CUT * _MAD_K * F.col("mad")
     return (

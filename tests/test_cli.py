@@ -26,7 +26,13 @@ def test_list_all_includes_rows_only_tag(capsys):
     assert "[rows-only]" in out and "[oracle]" in out
 
 
-def test_unknown_query_exits_2_with_close_matches(capsys):
-    assert main(["run", "q5_local"]) == 2
-    err = capsys.readouterr().err
-    assert "tpch_q5_local_supplier_volume" in err
+def test_unknown_query_exits_2_with_close_matches(caplog):
+    import logging
+
+    with caplog.at_level(logging.ERROR, logger="big_data_imdb_classifier_spark.cli"):
+        assert main(["run", "q5_local"]) == 2
+    assert any(
+        "tpch_q5_local_supplier_volume" in r.getMessage()
+        for r in caplog.records
+        if r.levelno == logging.ERROR
+    )

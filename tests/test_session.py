@@ -20,3 +20,21 @@ def test_cluster_conf_scales_with_fleet_shape():
 
 def test_session_timezone_is_utc(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_cluster_conf_runs_on_local_cluster_master():
+    """The deployment overlay is RUNNABLE, not just documented: a
+    subprocess brings up local-cluster[2,2,2048] (two real worker JVMs,
+    cross-process shuffles) with cluster_conf() applied and executes a
+    registry query end-to-end (tools/cluster_smoke.py)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "cluster_smoke.py")],
+        capture_output=True, text=True, timeout=280, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "OK cluster-smoke" in proc.stdout

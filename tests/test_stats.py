@@ -77,3 +77,45 @@ def test_hll_sketch_survives_parquet_roundtrip(spark, tmp_path):
     ).collect()[0]["est"]
     assert est == direct                      # parquet round-trip is lossless
     assert abs(est - exact) / exact <= 0.05   # documented HLL accuracy
+
+
+def test_group_quantiles_matches_builtin_percentile(spark):
+    """Distributed exact order statistics == the builtin buffering
+    aggregate, bit-for-bit, on adversarial data: duplicates, ties across
+    range-partition boundaries, NULLs, single-row groups."""
+    import random
+
+    from big_data_imdb_classifier_spark.operators.stats import group_quantiles
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(5000):
+        g = ["a", "b", "c"][i % 3]
+        # heavy duplication + a null sprinkle
+        v = None if i % 97 == 0 else float(rng.choice([1, 2, 2, 3, 5, 8, 13, 21]))
+        rows.append((g, v))
+    rows.append(("solo", 42.0))  # single-row group: all quantiles = 42
+    df = spark.createDataFrame(rows, "g string, v double")
+    pcts = [0.1, 0.25, 0.5, 0.9, 0.99]
+
+    got = {
+        r["g"]: r["q"]
+        for r in group_quantiles(df, ["g"], "v", pcts).collect()
+    }
+    want = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in pcts])).alias("p"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == want[g], (g, got[g], want[g])
+    assert got["solo"] == [42.0] * len(pcts)
+
+    # global (keys=[]) path
+    got_g = group_quantiles(df, [], "v", pcts).collect()[0]["q"]
+    want_g = df.agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in pcts])).alias("p")
+    ).collect()[0]["p"]
+    assert got_g == want_g

@@ -48,9 +48,17 @@ CROSS_WHITELIST = {
     # the row-data path is the Arrow matmul over co-grouped blocks.
     "dedup_embedding_cosine",
     "graph_copurchase_pagerank",    # single-row node-count broadcast per iter
-    "histogram_equidepth_price",    # single-row decile-edge-vector broadcast
+    "histogram_equidepth_price",    # single-row edge-vector broadcast + the
+    # ≤18-row rank-probe broadcast range join of the distributed-exact
+    # quantile machinery (BroadcastNestedLoop over a constant-size side)
     "quality_unigram_surprisal",    # single-row LM-total + 2-sigma-cut broadcasts
     "user_rfm_segments",            # 1-row corpus-max + tercile-cut broadcasts
+    # group_quantiles rank-probe: a |groups|×2·|pcts|-row broadcast range
+    # join (BroadcastNestedLoop over a constant-size side) — the price of
+    # distributed exact order statistics with no per-group value buffering
+    "stats_percentiles_by_flag",
+    "stats_mad_outliers",
+    "event_daily_anomalies",        # single-row median/MAD scalar broadcasts
 }
 
 

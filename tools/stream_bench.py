@@ -13,7 +13,16 @@ Throughput = input rows / wall seconds for a full availableNow drain
 processes the whole backlog as micro-batches exactly like a catch-up
 run against a live source.
 
-Usage: python tools/stream_bench.py [--out PATH]
+Regression ledger: pass ``--baseline PATH`` (a previous run's --out
+JSON) and every case also reports ``delta_pct`` — the rows/s change vs
+that baseline — so state-store/watermark regressions get caught
+round-over-round exactly like batch plan regressions in bench.py.
+Like bench.py, each case is drained ``$SPARK_GRAFT_BENCH_REPS`` times
+(default 3) and the median wall time is reported, and the emitted JSON
+carries the 1-minute load averages so contaminated recordings are
+self-identifying.
+
+Usage: python tools/stream_bench.py [--out PATH] [--baseline PATH]
 """
 
 from __future__ import annotations
@@ -50,35 +59,66 @@ def main() -> None:
         ),
     }
 
+    baseline_cases = {}
+    if "--baseline" in sys.argv:
+        i = sys.argv.index("--baseline") + 1
+        if i >= len(sys.argv):
+            raise SystemExit("--baseline requires a value")
+        with open(sys.argv[i]) as fh:
+            baseline_cases = json.load(fh).get("cases", {})
+
+    def _load_1m() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return -1.0
+
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+    load_start = _load_1m()
+
     results = {}
     for name, build in cases.items():
-        table = f"sb_{name}"
+        walls, out_rows = [], 0
         try:
-            ev = S.load_events_stream(spark, SF_DIR)
-            df, mode = build(ev)
-            t0 = time.perf_counter()
-            out = S.run_to_memory(spark, df, table, output_mode=mode,
-                                  timeout_sec=600)
-            out_rows = out.count()
-            wall = time.perf_counter() - t0
+            for rep in range(reps):
+                ev = S.load_events_stream(spark, SF_DIR)
+                df, mode = build(ev)
+                t0 = time.perf_counter()
+                out = S.run_to_memory(spark, df, f"sb_{name}_{rep}",
+                                      output_mode=mode, timeout_sec=600)
+                out_rows = out.count()
+                walls.append(time.perf_counter() - t0)
         except Exception as ex:  # noqa: BLE001
             print(f"stream_bench: {name} failed: {ex}", file=sys.stderr)
             continue
+        wall = sorted(walls)[len(walls) // 2]
         results[name] = {
             "sec": round(wall, 3),
             "out_rows": out_rows,
             "rows_per_sec": round(n_rows / wall),
         }
+        base = baseline_cases.get(name, {}).get("rows_per_sec")
+        if base:
+            results[name]["baseline_rows_per_sec"] = base
+            results[name]["delta_pct"] = round(
+                100.0 * (results[name]["rows_per_sec"] - base) / base, 1
+            )
+        delta = results[name].get("delta_pct")
         print(
             f"{results[name]['sec']:7.2f}s  "
             f"{results[name]['rows_per_sec']:>9,} rows/s  "
-            f"{out_rows:>8} out  {name}"
+            + (f"{delta:+6.1f}% vs baseline  " if delta is not None else "")
+            + f"{out_rows:>8} out  {name}"
         )
 
     summary = {
         "metric": "stream_drain",
         "input_rows": n_rows,
         "sf_dir": SF_DIR,
+        "reps": reps,
+        "stat": "median",
+        "load_1m_start": load_start,
+        "load_1m_end": _load_1m(),
         "cases": results,
     }
     if "--out" in sys.argv:
