@@ -255,3 +255,44 @@ def test_decode_metadata_with_real_decoder_over_real_payloads(spark):
     assert got[5].width is None and got[5].n_frames is None
     assert (got[6].width, got[6].height) == (256, 128)
     assert got[6].duration_ms == 3000 and got[6].n_frames == 9
+
+
+def test_video_header_parsers_never_crash_on_corrupt_bytes():
+    """Hypothesis fuzz: arbitrary byte soup — including truncations and
+    bit-flips of a valid MP4/AVI — must yield a parse or None, never an
+    exception (decode_metadata maps ValueError to a null row; an
+    IndexError/struct.error would kill the executor task instead)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid_mp4 = _mp4_bytes()
+    valid_avi = _avi_bytes()
+
+    @given(
+        data=st.one_of(
+            st.binary(min_size=0, max_size=256),
+            st.integers(min_value=0, max_value=len(valid_mp4)).map(
+                lambda n: valid_mp4[:n]
+            ),
+            st.integers(min_value=0, max_value=len(valid_avi)).map(
+                lambda n: valid_avi[:n]
+            ),
+            st.tuples(
+                st.integers(min_value=0, max_value=len(valid_mp4) - 1),
+                st.integers(min_value=0, max_value=255),
+            ).map(
+                lambda t: valid_mp4[: t[0]] + bytes([t[1]])
+                + valid_mp4[t[0] + 1:]
+            ),
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(data):
+        out = MM._parse_video_header(data)
+        assert out is None or isinstance(out, dict)
+        try:
+            MM.decode_real("video", data)
+        except ValueError:
+            pass  # the contractual rejection path
+
+    check()

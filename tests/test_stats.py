@@ -5,6 +5,7 @@ aggregate on the same data."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_imdb_classifier_spark import plans
@@ -119,3 +120,59 @@ def test_group_quantiles_matches_builtin_percentile(spark):
         F.percentile("v", F.array(*[F.lit(p) for p in pcts])).alias("p")
     ).collect()[0]["p"]
     assert got_g == want_g
+
+
+def test_group_quantiles_property_vs_builtin(spark):
+    """Hypothesis differential: random grouped value multisets (heavy
+    duplication, negatives, tiny groups) — group_quantiles must equal
+    the builtin buffering aggregate. Equality is to 1 ulp: the operator
+    interpolates as ``lo + frac·(hi−lo)`` (DuckDB quantile_cont's form —
+    the oracle the driver hashes against), while Spark's builtin uses
+    ``(1−frac)·lo + frac·hi``; the two differ by at most one rounding
+    step, far under the engine's 1e-4 result rounding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_imdb_classifier_spark.operators.stats import group_quantiles
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # group
+            st.integers(min_value=-5, max_value=5),         # value (dup-heavy)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+    pcts_strategy = st.lists(
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.77, 0.9, 1.0]),
+        min_size=1, max_size=4, unique=True,
+    )
+
+    @given(rows=rows_strategy, pcts=pcts_strategy)
+    @settings(max_examples=12, deadline=None)
+    def check(rows, pcts):
+        df = spark.createDataFrame(
+            [(f"g{g}", float(v)) for g, v in rows], "g string, v double"
+        )
+        got = {
+            r["g"]: r["q"]
+            for r in group_quantiles(df, ["g"], "v", pcts).collect()
+        }
+        want = {
+            r["g"]: r["p"]
+            for r in df.groupBy("g")
+            .agg(
+                F.percentile(
+                    "v", F.array(*[F.lit(p) for p in pcts])
+                ).alias("p")
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            for a, b in zip(got[g], want[g]):
+                assert a == pytest.approx(b, rel=1e-12, abs=1e-12), (
+                    g, got[g], want[g]
+                )
+
+    check()
