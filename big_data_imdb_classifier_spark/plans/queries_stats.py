@@ -546,3 +546,70 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_WINS_LO = 0.01
+_WINS_HI = 0.99
+
+
+@query(
+    "winsorize_extendedprice",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, {_WINS_LO}) AS lo,
+             quantile_cont(l_extendedprice, {_WINS_HI}) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+      round(any_value(cuts.lo), {_R}) AS p01,
+      round(any_value(cuts.hi), {_R}) AS p99,
+      (count(*) FILTER (l_extendedprice < cuts.lo))::BIGINT AS n_clipped_lo,
+      (count(*) FILTER (l_extendedprice > cuts.hi))::BIGINT AS n_clipped_hi,
+      round(avg(least(greatest(l_extendedprice, cuts.lo), cuts.hi)), {_R})
+        AS mean_winsorized
+    FROM lineitem l JOIN cuts ON l.l_returnflag = cuts.l_returnflag
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def winsorize_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE WINSORIZATION per group (clip to [p01, p99]) — the
+    standard robust feature-prep transform a training pipeline applies
+    to heavy-tailed numerics before scaling (mean/σ scalers are
+    otherwise dominated by the tail the clip removes; cf.
+    stats_mad_outliers, which DETECTS what this op repairs). Emits the
+    audit frame — cut values, clip counts per side, winsorized mean —
+    rather than the (row-sized) repaired column, which is the same
+    clamp expression applied in a projection.
+
+    Shape: the cuts come from ``operators.stats.group_quantiles``
+    (distributed exact order statistics, no per-group value buffering),
+    broadcast back as a 3-row frame; the clip+aggregate is one
+    partial+final pass over the fact table. Two scans total, zero
+    driver round-trips."""
+    from ..operators.stats import group_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    x = F.col("l_extendedprice")
+    cuts = group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [_WINS_LO, _WINS_HI]
+    ).select(
+        "l_returnflag",
+        F.col("q")[0].alias("lo"),
+        F.col("q")[1].alias("hi"),
+    )
+    clipped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("lo"), _R).alias("p01"),
+            F.round(F.any_value("hi"), _R).alias("p99"),
+            F.count(F.when(x < F.col("lo"), 1)).alias("n_clipped_lo"),
+            F.count(F.when(x > F.col("hi"), 1)).alias("n_clipped_hi"),
+            F.round(F.avg(clipped), _R).alias("mean_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -58,6 +58,7 @@ CROSS_WHITELIST = {
     # distributed exact order statistics with no per-group value buffering
     "stats_percentiles_by_flag",
     "stats_mad_outliers",
+    "winsorize_extendedprice",
     "event_daily_anomalies",        # single-row median/MAD scalar broadcasts
 }
 
