@@ -106,6 +106,10 @@ def pagerank_until(
         n_iters = i
         if delta < tol:
             break
-    rank = rank.persist()
+    # Eager checkpoint (not a lazy persist): materializes the final
+    # vector BEFORE the transition matrix is released below, so later
+    # actions on the returned ranks never re-derive the unpersisted
+    # lineage.
+    rank = rank.localCheckpoint(eager=True)
     trans.unpersist()
     return rank, n_iters, float(delta)

@@ -230,7 +230,13 @@ def _fitted(spark: SparkSession, sf_dir: str):
         with open(os.path.join(tmp, "_SUCCESS"), "w"):
             pass
         shutil.rmtree(cache_dir, ignore_errors=True)
-        os.rename(tmp, cache_dir)
+        try:
+            os.rename(tmp, cache_dir)
+        except OSError:
+            # Concurrent writer won the rename race — its entry is
+            # equally valid (same fingerprint ⇒ same inputs ⇒ identical
+            # deterministic fit); drop ours and carry on in-memory.
+            shutil.rmtree(tmp, ignore_errors=True)
     train_df.unpersist()
     fitted = (model, n_train, n_test, preds)
     _model_cache[key] = fitted

@@ -94,6 +94,7 @@ RELATIONAL_QUERIES = [
     "histogram_price_bins",
     "histogram_equidepth_price",
     "stats_mad_outliers",
+    "winsorize_extendedprice",
     "skew_profile_orders_custkey",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
