@@ -77,6 +77,7 @@ HEADLINE = [
     "tpch_q18_large_volume_customers",   # TPC-H Q18: group-filter + joins
     "cdc_merge_upsert",                  # CDC MERGE via full-outer join
     "fuzzy_match_levenshtein",           # blocked edit-distance entity resolution
+    "corpus_curation_e2e",               # composed 5-stage curation funnel
 ]
 
 

