@@ -1209,3 +1209,200 @@ def event_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_AB_Z_CRIT = 1.96  # two-sided 95%
+_AB_EPS = 1e-12  # degenerate-variance guard, mirrored in the oracle
+
+
+@query(
+    "event_ab_test",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+        CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 8)) AS BIGINT) % 2
+          AS arm,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT
+        count(*) FILTER (arm = 0)::BIGINT AS n_control,
+        count(*) FILTER (arm = 1)::BIGINT AS n_treatment,
+        sum(conv) FILTER (arm = 0)::BIGINT AS conv_control,
+        sum(conv) FILTER (arm = 1)::BIGINT AS conv_treatment
+      FROM per_user
+    ),
+    calc AS (
+      SELECT *,
+        conv_control * 1.0 / greatest(n_control, 1) AS p0,
+        conv_treatment * 1.0 / greatest(n_treatment, 1) AS p1,
+        (conv_control + conv_treatment) * 1.0
+          / greatest(n_control + n_treatment, 1) AS pp
+      FROM arms
+    ),
+    z AS (
+      SELECT *,
+        (p1 - p0) / greatest(
+          sqrt(pp * (1 - pp) * (1.0 / n_control + 1.0 / n_treatment)),
+          {_AB_EPS}) AS zval
+      FROM calc
+    )
+    SELECT n_control, n_treatment, conv_control, conv_treatment,
+      round(p0, {ROUND_DIGITS}) AS cvr_control,
+      round(p1, {ROUND_DIGITS}) AS cvr_treatment,
+      round(p1 - p0, {ROUND_DIGITS}) AS lift,
+      round(zval, {ROUND_DIGITS}) AS z_score,
+      abs(zval) >= {_AB_Z_CRIT} AS significant
+    FROM z
+    """,
+)
+def event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic 50/50 hash assignment of
+    users to arms (same md5-bucket predicate as sample_by_hash — no RNG,
+    so assignment is reproducible and joinable across tables), per-user
+    conversion = any 'purchase' event, then the two-proportion pooled
+    z-test a growth/experimentation platform computes — per-arm users,
+    conversions, conversion rates, absolute lift, z-score, and the
+    two-sided 95% significance verdict.
+
+    The synthetic arms are exchangeable by construction, so the expected
+    readout is a NON-significant lift — the gate pins the whole
+    closed-form inference chain (pooled variance, epsilon-guarded SE) to
+    the oracle either way.
+
+    Scale shape: one user-keyed groupBy (map-side partial max absorbs
+    per-user event mass) then a single-row conditional aggregate;
+    nothing driver-side, no joins. The z arithmetic mirrors the oracle
+    expression-for-expression (same association order) so IEEE division
+    and sqrt land on identical doubles before the defensive round."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn(
+            "arm",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            ),
+        )
+    )
+    arm0 = F.col("arm") == 0
+    arms = per_user.agg(
+        F.count(F.when(arm0, 1)).alias("n_control"),
+        F.count(F.when(~arm0, 1)).alias("n_treatment"),
+        F.sum(F.when(arm0, F.col("conv"))).alias("conv_control"),
+        F.sum(F.when(~arm0, F.col("conv"))).alias("conv_treatment"),
+    )
+    # greatest(n, 1) guards the degenerate empty-arm case (mirrored in
+    # the oracle): double division by zero is NULL on Spark but IEEE inf
+    # on DuckDB, which would break the hash gate. With an empty arm the
+    # conv_* sum is NULL on both engines, so every downstream column
+    # NULL-propagates identically instead of diverging.
+    calc = arms.withColumns(
+        {
+            "p0": F.col("conv_control")
+            * 1.0
+            / F.greatest(F.col("n_control"), F.lit(1)),
+            "p1": F.col("conv_treatment")
+            * 1.0
+            / F.greatest(F.col("n_treatment"), F.lit(1)),
+            "pp": (F.col("conv_control") + F.col("conv_treatment"))
+            * 1.0
+            / F.greatest(
+                F.col("n_control") + F.col("n_treatment"), F.lit(1)
+            ),
+        }
+    )
+    zval = (F.col("p1") - F.col("p0")) / F.greatest(
+        F.sqrt(
+            F.col("pp")
+            * (1 - F.col("pp"))
+            * (1.0 / F.col("n_control") + 1.0 / F.col("n_treatment"))
+        ),
+        F.lit(_AB_EPS),
+    )
+    return calc.withColumn("zval", zval).select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        F.round("p0", ROUND_DIGITS).alias("cvr_control"),
+        F.round("p1", ROUND_DIGITS).alias("cvr_treatment"),
+        F.round(F.col("p1") - F.col("p0"), ROUND_DIGITS).alias("lift"),
+        F.round("zval", ROUND_DIGITS).alias("z_score"),
+        (F.abs(F.col("zval")) >= _AB_Z_CRIT).alias("significant"),
+    )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "event_ts_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::DATE AS day, count(*)::DOUBLE AS v
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1}))::INT AS lag),
+    pairs AS (
+      SELECT l.lag, a.v AS va, b.v AS vb
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + l.lag
+    )
+    SELECT lag, count(*)::BIGINT AS n_pairs,
+           round(corr(va, vb), {ROUND_DIGITS}) AS acf
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def event_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-volume series at lags
+    1..7 — the seasonality probe behind forecasting and anomaly
+    dashboards (a weekly cycle shows up as a lag-7 peak). Pearson
+    correlation between the series and its k-day shift, computed as a
+    self-equi-join on the day key rather than a variable-offset window
+    (neither engine supports lead(v, k) with a column offset, and the
+    join form keeps both sides expression-identical).
+
+    Scale shape: the raw corpus collapses to ONE row per calendar day
+    before anything quadratic-looking happens, so the join is over a
+    calendar-bounded frame (~150 rows × 7 lags) — same bounded-domain
+    argument as event_session_concurrency's day frame. Both join sides
+    broadcast; corr() is a single partial+final aggregate per lag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("v")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag")),
+        )
+        .select("lag", F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.corr("va", "vb"), ROUND_DIGITS).alias("acf"),
+        )
+        .orderBy("lag")
+    )

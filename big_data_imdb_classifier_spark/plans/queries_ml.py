@@ -35,6 +35,7 @@ import shutil
 from pyspark.ml import PipelineModel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..ml import pipeline as MLP
 from ..sources.readers import load_table
@@ -525,4 +526,239 @@ def ml_lr_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "auc_ge_floor boolean, acc_beats_majority boolean, "
         "probs_are_probabilities boolean, n_features long",
+    )
+
+
+@query(
+    "ml_pca_embedding_gate",
+    oracle="""
+    SELECT TRUE AS components_orthonormal, TRUE AS ev_nonincreasing,
+           TRUE AS ev_valid_simplex, TRUE AS proj_var_matches_ev,
+           CAST(8 AS BIGINT) AS k, CAST(64 AS BIGINT) AS n_features
+    """,
+)
+def ml_pca_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third MLlib family under the driver gate: distributed PCA over the
+    64-dim embeddings (MLlib computes the covariance/SVD cluster-side; the
+    only driver-size object is the 64×k component matrix). Hash-gated
+    invariants, constant-TRUE oracle columns (same pattern as
+    ml_lr_embedding_gate):
+
+    - components are orthonormal (max |PᵀP − I| < 1e-6 on the k×k Gram);
+    - explained-variance ratios are non-increasing, strictly positive,
+      and sum to ≤ 1 (a valid sub-simplex);
+    - DISTRIBUTED cross-check: the per-projected-dimension sample
+      variance over the whole corpus, divided by the total raw-dimension
+      variance (trace of the covariance), reproduces MLlib's reported
+      explained-variance ratios to 1e-6 — variance is shift-invariant,
+      so Var(x·vᵢ) = λᵢ holds whether or not the projection centers.
+      This re-derives the eigenvalues from the data in one extra scan,
+      so a regression in either the fit or the transform path flips a
+      gate boolean.
+
+    Scale shape: one fit pass (MLlib tree-aggregated Gramian), one
+    72-column single-row aggregate for the cross-check; no collect of
+    data rows."""
+    import numpy as np
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    k, dim = 8, 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    data = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = PCA(k=k, inputCol="features", outputCol="pc").fit(data)
+
+    P = model.pc.toArray()  # dim × k, constant-size
+    gram_err = float(np.max(np.abs(P.T @ P - np.eye(k))))
+    ev = model.explainedVariance.toArray()
+    nonincreasing = bool(np.all(np.diff(ev) <= 1e-12))
+    simplex = bool(np.all(ev > 0.0) and float(ev.sum()) <= 1.0 + 1e-9)
+
+    proj = model.transform(data).select(
+        vector_to_array("pc").alias("p"), vector_to_array("features").alias("f")
+    )
+    aggs = [
+        F.var_samp(F.element_at("p", i + 1)).alias(f"pv{i}") for i in range(k)
+    ]
+    aggs.append(
+        sum(
+            F.var_samp(F.element_at("f", j + 1)) for j in range(dim)
+        ).alias("total_var")
+    )
+    row = proj.agg(*aggs).first()
+    ratios = np.array([row[f"pv{i}"] for i in range(k)]) / row["total_var"]
+    proj_matches = bool(np.max(np.abs(ratios - ev)) < 1e-6)
+
+    return spark.createDataFrame(
+        [
+            (
+                gram_err < 1e-6,
+                nonincreasing,
+                simplex,
+                proj_matches,
+                k,
+                int(model.pc.numRows),
+            )
+        ],
+        "components_orthonormal boolean, ev_nonincreasing boolean, "
+        "ev_valid_simplex boolean, proj_var_matches_ev boolean, "
+        "k long, n_features long",
+    )
+
+
+@query(
+    "ml_als_recommender_gate",
+    oracle="""
+    SELECT TRUE AS recovers_lowrank, TRUE AS predictions_finite,
+           TRUE AS factor_rank_correct, TRUE AS factors_cover_all,
+           TRUE AS recs_valid, CAST(8 AS BIGINT) AS rank
+    """,
+)
+def ml_als_recommender_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth MLlib family under the driver gate: ALS collaborative
+    filtering (the distributed block matrix-factorization recommender —
+    cf. Hu/Koren/Volinsky and MLlib's blocked ALS). The OBSERVED
+    (user, item) pairs come from the events table itself — item = the
+    ``props`` JSON key ``k`` (0..~100) — so the sparsity pattern is the
+    data's real interaction graph. The rating is DERIVED rank-1
+    (``(user%7+1)·(item%5+1)/10``) for the same reason
+    ml_lr_embedding_gate derives its target: the natural signal
+    (log1p of interaction count) degenerates to a near-constant at
+    larger SFs (≈1 event per pair), where no factorization can beat a
+    global mean and the gate would measure regularization shrinkage,
+    not fit. A rank-1 ground truth is exactly recoverable by rank-8
+    ALS at ANY scale, so a solver/blocking regression fails loudly.
+
+    Hash-gated invariants, constant-TRUE oracle columns (same pattern
+    as ml_lr_embedding_gate / ml_pca_embedding_gate):
+
+    - train RMSE < 0.1 × the global-mean predictor's RMSE
+      (stddev_pop) — the factorization recovers the planted low-rank
+      structure, not merely edges out the mean;
+    - every prediction on the training pairs is finite (no NaN/null
+      leaked through coldStartStrategy='drop');
+    - all user AND item factor vectors have exactly rank=8 entries;
+    - factor tables cover every observed user and item (fit is total);
+    - recommendForAllUsers(3) emits only items seen in training, with
+      per-user scores non-increasing.
+
+    Scale shape: one groupBy builds the ratings matrix (map-side
+    partials absorb per-pair event mass); the fit is MLlib's blocked
+    alternating least squares (factors live in partitioned DataFrames,
+    never on the driver); every invariant is an aggregate over the
+    factor/prediction/recommendation DataFrames — no data-sized
+    collect. The only driver-size values are the six gate booleans."""
+    from pyspark.ml.recommendation import ALS
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = (
+        ev.select(
+            F.col("user_id").cast("int").alias("user"),
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .groupBy("user", "item")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "user",
+            "item",
+            (
+                (F.pmod("user", F.lit(7)) + 1)
+                * (F.pmod("item", F.lit(5)) + 1)
+                / 10.0
+            ).alias("rating"),
+        )
+        .persist()
+    )
+
+    rank = 8
+    als = ALS(
+        rank=rank,
+        maxIter=10,
+        regParam=0.01,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        nonnegative=False,
+    )
+    model = als.fit(ratings)
+
+    preds = model.transform(ratings)
+    fit_row = preds.agg(
+        F.sqrt(
+            F.avg(F.pow(F.col("rating") - F.col("prediction"), 2))
+        ).alias("rmse"),
+        F.stddev_pop("rating").alias("baseline"),
+        F.count(
+            F.when(
+                F.col("prediction").isNull() | F.isnan("prediction"), 1
+            )
+        ).alias("bad"),
+        F.count("*").alias("n_pred"),
+    ).first()
+
+    def _factor_stats(fdf):
+        return fdf.agg(
+            F.min(F.size("features")).alias("mn"),
+            F.max(F.size("features")).alias("mx"),
+            F.count("*").alias("n"),
+        ).first()
+
+    u_stats = _factor_stats(model.userFactors)
+    i_stats = _factor_stats(model.itemFactors)
+    card = ratings.agg(
+        F.countDistinct("user").alias("nu"),
+        F.countDistinct("item").alias("ni"),
+        F.count("*").alias("n_pairs"),
+    ).first()
+
+    recs = model.recommendForAllUsers(3)
+    flat = recs.select(
+        "user", F.posexplode("recommendations").alias("pos", "rec")
+    ).select("user", "pos", F.col("rec.item").alias("item"),
+             F.col("rec.rating").alias("score"))
+    known_items = ratings.select("item").distinct()
+    rec_row = (
+        flat.join(F.broadcast(known_items), "item", "left_anti")
+        .agg(F.count("*").alias("unknown"))
+        .first()
+    )
+    # ordering: within each user, score at pos p must be >= score at p+1
+    w_next = Window.partitionBy("user").orderBy("pos")
+    order_row = (
+        flat.withColumn("nxt", F.lead("score").over(w_next))
+        .agg(
+            F.count(
+                F.when(F.col("nxt").isNotNull()
+                       & (F.col("score") < F.col("nxt") - 1e-6), 1)
+            ).alias("misordered"),
+            F.count(F.when(F.isnan("score"), 1)).alias("nan_scores"),
+        )
+        .first()
+    )
+    ratings.unpersist()
+
+    return spark.createDataFrame(
+        [
+            (
+                fit_row["rmse"] < 0.1 * fit_row["baseline"],
+                fit_row["bad"] == 0 and fit_row["n_pred"] == card["n_pairs"],
+                u_stats["mn"] == rank == u_stats["mx"]
+                and i_stats["mn"] == rank == i_stats["mx"],
+                u_stats["n"] == card["nu"] and i_stats["n"] == card["ni"],
+                rec_row["unknown"] == 0
+                and order_row["misordered"] == 0
+                and order_row["nan_scores"] == 0,
+                rank,
+            )
+        ],
+        "recovers_lowrank boolean, predictions_finite boolean, "
+        "factor_rank_correct boolean, factors_cover_all boolean, "
+        "recs_valid boolean, rank long",
     )

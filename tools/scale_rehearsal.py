@@ -71,6 +71,8 @@ EVENT_QUERIES = [
     "event_retention_cohorts",
     "user_rfm_segments",
     "event_daily_anomalies",
+    "event_ab_test",
+    "event_ts_autocorrelation",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
