@@ -1386,18 +1386,17 @@ def event_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").cast("double").alias("v")
     )
-    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
-        F.col("id").cast("int").alias("lag")
+    lag_arr = F.array(
+        *[F.lit(k).cast("int") for k in range(1, _ACF_MAX_LAG + 1)]
     )
-    a, b = daily.alias("a"), daily.alias("b")
-    pairs = (
-        a.crossJoin(F.broadcast(lags))
-        .join(
-            F.broadcast(b),
-            F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag")),
-        )
-        .select("lag", F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-    )
+    # explode a literal lag array (no cross join → no nested-loop plan);
+    # the fan-out is 7× a calendar-bounded frame.
+    a = daily.withColumn("lag", F.explode(lag_arr)).alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag")),
+    ).select("lag", F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
     return (
         pairs.groupBy("lag")
         .agg(

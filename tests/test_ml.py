@@ -140,3 +140,17 @@ def test_rf_hyperparameter_tuning_surface(spark):
     assert any(abs(m - best_acc) < 1e-12 for _, _, m in metrics)
     preds = best.transform(df)
     assert preds.select("prediction").distinct().count() >= 1
+
+
+def test_als_gate_invariants_hold_at_smoke_sf(spark):
+    """The ALS gate booleans must be sf-independent (the rank-1 derived
+    rating exists precisely so the RMSE floor survives scale changes —
+    log1p(count) ratings degenerate at sf0.1). All six gate columns
+    true at the smoke SF, rank pinned to 8."""
+    row = QM.ml_als_recommender_gate(spark, SF_SMOKE).collect()[0]
+    assert row["recovers_lowrank"]
+    assert row["predictions_finite"]
+    assert row["factor_rank_correct"]
+    assert row["factors_cover_all"]
+    assert row["recs_valid"]
+    assert row["rank"] == 8

@@ -176,3 +176,17 @@ def test_group_quantiles_property_vs_builtin(spark):
                 )
 
     check()
+
+
+def test_autocorrelation_is_bounded_and_pairs_shrink(spark):
+    """ACF sanity at the smoke SF: every coefficient is a valid Pearson
+    value in [-1, 1], lags are exactly 1..7, and the aligned-pair count
+    is non-increasing in the lag (each extra day of shift can only
+    drop pairs off the end of the calendar)."""
+    from big_data_imdb_classifier_spark.plans import queries_events as QE
+
+    rows = QE.event_ts_autocorrelation(spark, SF_SMOKE).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+    assert all(-1.0 <= r["acf"] <= 1.0 for r in rows if r["acf"] is not None)
+    pairs = [r["n_pairs"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
