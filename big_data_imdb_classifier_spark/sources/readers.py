@@ -165,3 +165,29 @@ def load_column_dict_json(
         out = col_df if out is None else out.join(col_df, key_name, "inner")
     assert out is not None
     return out.drop(key_name)
+
+
+def load_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan via Spark 4's NATIVE xml data source (mainlined from
+    spark-xml in 4.0 — no external package). ``row_tag`` names the
+    repeating element that becomes one row; attributes surface as
+    ``_attr`` columns, nested elements as structs.
+
+    Pass ``schema`` in production: inference buys a full extra pass
+    over the files, exactly like the CSV/JSON scans (reference reads
+    its inputs with explicit dtypes for the same reason —
+    /root/reference/movie_pipeline/data_loader.py). XML parsing is
+    per-record CPU-heavy relative to columnar formats; the scan is
+    still a distributed multi-file FileScan, but at 100 TB this is an
+    INGEST-ONCE format — land it, convert to parquet, query the
+    parquet (see sinks.compact_parquet for the follow-up step).
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

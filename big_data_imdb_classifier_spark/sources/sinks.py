@@ -196,3 +196,24 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 native xml source, write side): one XML
+    document per partition file with ``root_tag`` wrapping ``row_tag``
+    elements. Executor-side like every file sink — no driver fan-in;
+    interop surface for systems that ingest XML feeds, not a storage
+    format to query at rest (convert to parquet for that)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )

@@ -374,3 +374,34 @@ def enrich_stream_with_static_dim(
     are stateless (no watermark needed on the dim side), unlike the
     stream-stream range join above."""
     return stream.join(F.broadcast(dim), on=key, how=how)
+
+
+def read_state(
+    spark,
+    checkpoint_dir: str,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Offline state-store introspection (Spark 4 ``statestore`` batch
+    source): read a streaming query's checkpointed state as a DataFrame
+    of (key struct, value struct, partition_id) — the ops surface for
+    debugging stateful queries ("what does the store believe right
+    now?"), state-size audits, and migration validation, all WITHOUT
+    touching the running query. Pass ``batch_id`` to time-travel to an
+    earlier micro-batch's state. The read is a distributed scan of the
+    per-partition state files, not a driver materialization."""
+    reader = (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+    )
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    return reader.load(checkpoint_dir)
+
+
+def read_state_metadata(spark, checkpoint_dir: str) -> DataFrame:
+    """Companion ``state-metadata`` source: one row per stateful
+    operator in the checkpoint (operator id/name, store name, partition
+    count, min/max retained batch ids) — how you discover the
+    ``operator_id``/``batch_id`` arguments for :func:`read_state`."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)

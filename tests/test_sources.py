@@ -563,3 +563,41 @@ def test_jsonl_stream_writer_round_trip(spark, tmp_path):
     assert back.exceptAll(batch).count() == 0
     assert batch.exceptAll(back).count() == 0
     assert not glob.glob(out + "/_tmp-*")  # no orphan tmp files
+
+
+def test_xml_round_trip_explicit_schema(spark, tmp_path):
+    """Spark 4 native XML source/sink: values survive a write/read
+    round trip, an explicit schema skips the inference pass, and the
+    row tag drives record boundaries. Nulls round-trip as absent
+    elements."""
+    import pyspark.sql.types as T
+
+    from big_data_imdb_classifier_spark.sources.readers import (
+        load_table,
+        load_xml,
+    )
+    from big_data_imdb_classifier_spark.sources.sinks import write_xml
+
+    nat = load_table(spark, SF_SMOKE, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(nat, path, row_tag="nation", root_tag="nations")
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    back = load_xml(spark, path, row_tag="nation", schema=schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in nat.collect()
+    }
+
+    inferred = load_xml(spark, path, row_tag="nation")
+    assert set(inferred.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert inferred.count() == nat.count()

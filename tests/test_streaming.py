@@ -314,3 +314,41 @@ def test_stream_static_dim_join_matches_batch(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_statestore_reader_pins_checkpoint_state_to_batch_agg(spark, tmp_path):
+    """Offline state introspection (Spark 4 statestore source): after an
+    availableNow drain of a grouped count, the checkpoint's state store
+    must contain EXACTLY the batch groupBy result — key for key, count
+    for count — and the state-metadata source must describe the
+    operator that owns it. This is the ops path for auditing what a
+    stateful query believes without touching the query."""
+    ev = ST.load_events_stream(spark, SF_SMOKE)
+    counts = ev.groupBy("event_type").count()
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_state_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = ST.read_state_metadata(spark, ckpt).collect()
+    assert len(meta) == 1
+    assert meta[0]["operatorName"] == "stateStoreSave"
+
+    state = ST.read_state(spark, ckpt, operator_id=meta[0]["operatorId"])
+    got = {
+        (r["key"][0], r["value"]["count"]) for r in state.collect()
+    }
+    want = {
+        (r["event_type"], r["count"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    assert got == want
