@@ -12,6 +12,7 @@ def load_all() -> None:
         queries_enrichment,
         queries_events,
         queries_graph,
+        queries_layout,
         queries_ml,
         queries_multimodal,
         queries_relational,

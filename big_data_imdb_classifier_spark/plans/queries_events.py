@@ -1405,3 +1405,63 @@ def event_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "event_weekday_seasonality",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::DATE AS day, count(*)::DOUBLE AS v
+      FROM events GROUP BY 1
+    ),
+    by_dow AS (
+      SELECT dayofweek(day) AS dow, strftime(day, '%A') AS day_name,
+             count(*)::BIGINT AS n_days, avg(v) AS avg_volume
+      FROM daily GROUP BY 1, 2
+    ),
+    overall AS (SELECT avg(v) AS g FROM daily)
+    SELECT dow, day_name, n_days,
+           round(avg_volume, {ROUND_DIGITS}) AS avg_volume,
+           round(avg_volume / (SELECT g FROM overall),
+                 {ROUND_DIGITS}) AS seasonal_index
+    FROM by_dow ORDER BY dow
+    """,
+)
+def event_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal indices of event volume — avg daily volume per
+    day-of-week over the global daily average, the multiplicative
+    seasonality table behind seasonal-naive forecasting and staffing
+    dashboards (pairs with event_ts_autocorrelation: the ACF detects a
+    weekly cycle, this quantifies it per day).
+
+    Scale shape: the corpus collapses to one row per calendar day
+    first; the weekday aggregate runs over that bounded frame, and the
+    global mean folds in as a broadcast scalar (same cross-scalar join
+    pattern as heavy_hitters_suppkey) — two tiny aggregates after one
+    distributed scan. Day-of-week is normalized to DuckDB's 0=Sunday
+    convention (Spark's dayofweek is 1=Sunday..7)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("v")
+    )
+    by_dow = daily.groupBy(
+        (F.dayofweek("day") - 1).alias("dow"),
+        F.date_format("day", "EEEE").alias("day_name"),
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.avg("v").alias("avg_volume_raw"),
+    )
+    overall = daily.agg(F.avg("v").alias("g"))
+    return (
+        by_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "day_name",
+            "n_days",
+            F.round("avg_volume_raw", ROUND_DIGITS).alias("avg_volume"),
+            F.round(
+                F.col("avg_volume_raw") / F.col("g"), ROUND_DIGITS
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )

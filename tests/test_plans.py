@@ -441,3 +441,74 @@ def test_session_concurrency_has_no_global_sort_window(spark):
     # with no 'partitionBy'; formatted plans show 'Arguments: [...]'.
     # Cheap proxy: at most one SinglePartition exchange in the plan.
     assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_zorder_layout_prunes_more_files(spark, tmp_path):
+    """The z-order claim, measured on real files: across a panel of 2-D
+    box predicates, the z-ordered layout must overlap strictly fewer
+    files IN TOTAL than a single-column sort (whose non-leading
+    dimension spans every file), while both layouts return identical
+    rows. Per-file min/max spans — computed via input_file_name — are
+    exactly the statistics parquet row-group/file skipping uses, so
+    'fewer overlapping files' is 'fewer files a stats-pruning reader
+    touches'. 64 files: curve locality needs granularity (at 16 files a
+    box straddling the top Morton split touches most of the curve —
+    the realistic regime is thousands of row-groups, not 16)."""
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.operators.layout import (
+        write_zordered,
+    )
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    p_sorted = str(tmp_path / "li_sorted")
+    p_z = str(tmp_path / "li_z")
+    (
+        li.repartitionByRange(64, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(p_sorted)
+    )
+    write_zordered(li, p_z, "l_partkey", "l_suppkey", num_files=64)
+
+    # quarter- and eighth-size boxes over (partkey 0..1999, suppkey 0..99),
+    # deliberately including one straddling the top-level Morton split
+    boxes = [
+        (750, 1249, 38, 62),
+        (1250, 1499, 50, 61),
+        (250, 499, 25, 37),
+        (1000, 1249, 75, 87),
+    ]
+
+    def overlapping_files(path, lox, hix, loy, hiy) -> int:
+        spans = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("l_partkey").alias("minp"),
+                F.max("l_partkey").alias("maxp"),
+                F.min("l_suppkey").alias("mins"),
+                F.max("l_suppkey").alias("maxs"),
+            )
+        )
+        return spans.where(
+            (F.col("minp") <= hix)
+            & (F.col("maxp") >= lox)
+            & (F.col("mins") <= hiy)
+            & (F.col("maxs") >= loy)
+        ).count()
+
+    n_sorted = sum(overlapping_files(p_sorted, *b) for b in boxes)
+    n_z = sum(overlapping_files(p_z, *b) for b in boxes)
+    assert n_z < n_sorted, (n_z, n_sorted)
+
+    lox, hix, loy, hiy = boxes[0]
+    box = (F.col("l_partkey").between(lox, hix)) & (
+        F.col("l_suppkey").between(loy, hiy)
+    )
+    a = {tuple(r) for r in spark.read.parquet(p_sorted).where(box).collect()}
+    b = {tuple(r) for r in spark.read.parquet(p_z).where(box).collect()}
+    assert a == b and len(a) > 0

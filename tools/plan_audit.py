@@ -60,6 +60,8 @@ CROSS_WHITELIST = {
     "stats_mad_outliers",
     "winsorize_extendedprice",
     "event_daily_anomalies",        # single-row median/MAD scalar broadcasts
+    "event_weekday_seasonality",    # single-row global-mean scalar broadcast
+    "zorder_bucket_profile",        # single-row min/max-bounds scalar broadcast
 }
 
 

@@ -73,6 +73,7 @@ EVENT_QUERIES = [
     "event_daily_anomalies",
     "event_ab_test",
     "event_ts_autocorrelation",
+    "event_weekday_seasonality",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
@@ -97,6 +98,7 @@ RELATIONAL_QUERIES = [
     "histogram_equidepth_price",
     "stats_mad_outliers",
     "winsorize_extendedprice",
+    "zorder_bucket_profile",
     "skew_profile_orders_custkey",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
