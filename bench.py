@@ -78,6 +78,7 @@ HEADLINE = [
     "cdc_merge_upsert",                  # CDC MERGE via full-outer join
     "fuzzy_match_levenshtein",           # blocked edit-distance entity resolution
     "corpus_curation_e2e",               # composed 5-stage curation funnel
+    "zorder_bucket_profile",             # Morton-interleave layout arithmetic
 ]
 
 
