@@ -1465,3 +1465,184 @@ def event_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+_BASKET_MIN_SUPPORT = 5  # min co-occurring users per pair
+
+
+@query(
+    "basket_pair_lift",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    n_users AS (SELECT count(DISTINCT user_id) AS n FROM ui),
+    item_n AS (SELECT item, count(*)::BIGINT AS n_item FROM ui GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_both
+      FROM ui a JOIN ui b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    )
+    SELECT item_a, item_b, n_both,
+      round(n_both * 1.0 / (SELECT n FROM n_users), {ROUND_DIGITS})
+        AS support,
+      round(n_both * 1.0 / ia.n_item, {ROUND_DIGITS}) AS confidence,
+      round(n_both * 1.0 * (SELECT n FROM n_users)
+            / (ia.n_item * ib.n_item), {ROUND_DIGITS}) AS lift
+    FROM pairs
+    JOIN item_n ia ON ia.item = item_a
+    JOIN item_n ib ON ib.item = item_b
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise market-basket analysis (frequent-itemset mining at
+    k=2): support / confidence / lift for item pairs co-occurring in
+    the same user's event stream (item = props JSON key), top-50 by
+    lift. The association-rules readout behind recommendations and
+    merchandising — and the pair-counting shape every co-occurrence
+    engine (including the co-purchase graph here) reduces to.
+
+    Scale shape: distinct (user, item) FIRST (one reduce — caps any
+    user's contribution at the item-vocabulary size), then the pair
+    fan-out via a within-user self-equi-join on user_id with a.item <
+    b.item (each user contributes C(items,2) pairs, bounded by vocab²,
+    NOT by event count); pair counts reduce map-side; item marginals
+    and the user total fold in as one broadcast join + one broadcast
+    scalar. A min-support HAVING prunes the tail before the marginals
+    join. Top-50 compiles to TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    ui = (
+        ev.select("user_id", k.alias("item"))
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    n_users = ui.agg(
+        F.countDistinct("user_id").alias("n_total")
+    )
+    item_n = ui.groupBy("item").agg(F.count("*").alias("n_item"))
+    a, b = ui.alias("a"), ui.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= _BASKET_MIN_SUPPORT)
+    )
+    ia = item_n.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item_n.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * 1.0 / F.col("n_total"), ROUND_DIGITS
+            ).alias("support"),
+            F.round(
+                F.col("n_both") * 1.0 / F.col("n_a"), ROUND_DIGITS
+            ).alias("confidence"),
+            F.round(
+                F.col("n_both") * 1.0 * F.col("n_total")
+                / (F.col("n_a") * F.col("n_b")),
+                ROUND_DIGITS,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(50)
+    )
+
+
+@query(
+    "event_time_to_convert",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT date_diff('second', first_view, first_purchase) AS delay_s
+      FROM per_user
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT
+      CASE WHEN delay_s < 3600 THEN 'lt_1h'
+           WHEN delay_s < 86400 THEN '1h_24h'
+           WHEN delay_s < 604800 THEN '1d_7d'
+           ELSE 'ge_7d' END AS band,
+      count(*)::BIGINT AS n_users,
+      round(avg(delay_s), {ROUND_DIGITS}) AS avg_delay_s,
+      min(delay_s)::BIGINT AS min_delay_s,
+      max(delay_s)::BIGINT AS max_delay_s
+    FROM conv GROUP BY 1 ORDER BY 1
+    """,
+)
+def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from a user's FIRST view
+    to their FIRST subsequent purchase, banded into the product-
+    analytics buckets (<1h, 1h-24h, 1d-7d, ≥7d) with per-band count and
+    avg/min/max delay — the latency companion to the ordered-stage
+    funnel (event_funnel_conversion counts WHO converts; this measures
+    HOW FAST).
+
+    Scale shape: ONE user-keyed groupBy with conditional min aggregates
+    (map-side partials absorb per-user event mass — never a window over
+    raw events), a null/ordering filter, then a 4-row band aggregate.
+    Two shuffles total, the second over four groups."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    conv = per_user.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            epoch_seconds("first_purchase") - epoch_seconds("first_view")
+        ).alias("delay_s")
+    )
+    band = (
+        F.when(F.col("delay_s") < 3600, "lt_1h")
+        .when(F.col("delay_s") < 86400, "1h_24h")
+        .when(F.col("delay_s") < 604800, "1d_7d")
+        .otherwise("ge_7d")
+    )
+    return (
+        conv.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("delay_s"), ROUND_DIGITS).alias("avg_delay_s"),
+            F.min("delay_s").cast("long").alias("min_delay_s"),
+            F.max("delay_s").cast("long").alias("max_delay_s"),
+        )
+        .orderBy("band")
+    )

@@ -62,6 +62,7 @@ CROSS_WHITELIST = {
     "event_daily_anomalies",        # single-row median/MAD scalar broadcasts
     "event_weekday_seasonality",    # single-row global-mean scalar broadcast
     "zorder_bucket_profile",        # single-row min/max-bounds scalar broadcast
+    "basket_pair_lift",             # single-row user-total scalar broadcast
 }
 
 

@@ -74,6 +74,8 @@ EVENT_QUERIES = [
     "event_ab_test",
     "event_ts_autocorrelation",
     "event_weekday_seasonality",
+    "basket_pair_lift",
+    "event_time_to_convert",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
