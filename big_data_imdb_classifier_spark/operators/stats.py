@@ -37,6 +37,79 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    measures: list[str],
+) -> DataFrame:
+    """Exact running sums of ``measures`` over ``order_col`` within each
+    ``keys`` group (global when ``keys`` is empty) WITHOUT a
+    single-partition window — the two-level prefix sum every global
+    cumulative statistic in this engine rides on (quantile ranks here,
+    the sweep-line concurrency profile in operators/relational.py).
+
+    Shape: range-repartition by (keys, order_col); within-partition
+    running sums (one window per partition id, data never crosses
+    executors); then a per-(key, shuffle-partition) offset frame — one
+    row per key per partition, constant-size, never data-sized — whose
+    own prefix sum broadcasts back onto the rows. At 100 TB the only
+    data-sized movements are the range shuffle and a broadcast join; no
+    reducer ever holds more than its range slice.
+
+    PRECONDITION: ``(keys, order_col)`` must be unique per row (pre-
+    aggregate ties first) — duplicate order keys would make the running
+    sum partition-order dependent and nondeterministic.
+
+    Returns ``df``'s columns plus ``{m}_cum`` for each measure.
+    """
+    spark = df.sparkSession
+    dummy = not keys
+    if dummy:
+        df = df.withColumn("_dc_key", F.lit(0))
+        keys = ["_dc_key"]
+    nparts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    d = df.repartitionByRange(nparts, *keys, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy(*keys, "_pid").orderBy(order_col)
+    for m in measures:
+        d = d.withColumn(f"_loc_{m}", F.sum(m).over(w_local))
+    # Partition totals from the RAW measure (not max of the running sum,
+    # which would be wrong for signed measures).
+    ptot = d.groupBy(*keys, "_pid").agg(
+        *[F.sum(m).alias(f"_pt_{m}") for m in measures]
+    )
+    w_ofs = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ofs = ptot.select(
+        *keys,
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_pt_{m}").over(w_ofs), F.lit(0)).alias(
+                f"_of_{m}"
+            )
+            for m in measures
+        ],
+    )
+    d = d.join(F.broadcast(ofs), keys + ["_pid"])
+    for m in measures:
+        d = d.withColumn(f"{m}_cum", F.col(f"_loc_{m}") + F.col(f"_of_{m}"))
+    d = d.drop(
+        "_pid",
+        *[f"_loc_{m}" for m in measures],
+        *[f"_of_{m}" for m in measures],
+    )
+    if dummy:
+        d = d.drop("_dc_key")
+    return d
+
+
 def group_quantiles(
     df: DataFrame,
     keys: list[str],
@@ -69,35 +142,16 @@ def group_quantiles(
         .groupBy(*kcols, F.col(val_col).alias("_v"))
         .agg(F.count("*").alias("_c"))
     )
-    nparts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
-    )
-    vc = vc.repartitionByRange(nparts, *keys, "_v").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy(*keys, "_pid").orderBy("_v")
-    vc = vc.withColumn("_local_cum", F.sum("_c").over(w_local))
-
-    # One row per (key, shuffle partition): constant-size frame. The
-    # prefix sum over it is per-key (partitionBy keys), so no global
-    # single-partition window even with millions of groups.
-    ptot = vc.groupBy(*keys, "_pid").agg(F.max("_local_cum").alias("_ptot"))
-    w_ofs = (
-        Window.partitionBy(*keys)
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ofs = ptot.withColumn(
-        "_ofs", F.coalesce(F.sum("_ptot").over(w_ofs), F.lit(0))
-    )
+    # (keys, _v) is unique by construction — the distributed_cumsum
+    # precondition holds. _c_cum is each distinct value's exact global
+    # per-key rank upper bound; [_cum_prev, _cum) its rank interval.
     vc = (
-        vc.join(F.broadcast(ofs.select(*keys, "_pid", "_ofs")),
-                keys + ["_pid"])
-        .withColumn("_cum", F.col("_local_cum") + F.col("_ofs"))
+        distributed_cumsum(vc, keys, "_v", ["_c"])
+        .withColumnRenamed("_c_cum", "_cum")
         .withColumn("_cum_prev", F.col("_cum") - F.col("_c"))
     )
 
-    n_per_key = ofs.groupBy(*keys).agg(F.sum("_ptot").alias("_n"))
+    n_per_key = vc.groupBy(*keys).agg(F.sum("_c").alias("_n"))
     idx = spark.createDataFrame(
         [(i, p) for i, p in enumerate(pcts)], "_i INT, _p DOUBLE"
     )
@@ -127,12 +181,19 @@ def group_quantiles(
         .select(*keys, "_i", "_frac",
                 F.col("_s._k").alias("_k"), F.col("_s._side").alias("_side"))
     )
+    # ranks shares vc's lineage (n_per_key aggregates the cumsum frame),
+    # so the probe is a self-join — explicit dataframe aliases keep the
+    # key attributes distinguishable.
+    vc_a, ranks_a = vc.alias("_gqv"), ranks.alias("_gqr")
     cond = _and_all(
-        [vc[k] == ranks[k] for k in keys]
-        + [ranks["_k"] >= vc["_cum_prev"], ranks["_k"] < vc["_cum"]]
+        [F.col(f"_gqv.{k}") == F.col(f"_gqr.{k}") for k in keys]
+        + [
+            F.col("_gqr._k") >= F.col("_gqv._cum_prev"),
+            F.col("_gqr._k") < F.col("_gqv._cum"),
+        ]
     )
-    hit = vc.join(F.broadcast(ranks), cond).select(
-        *[vc[k] for k in keys], "_v", "_i", "_frac", "_side"
+    hit = vc_a.join(F.broadcast(ranks_a), cond).select(
+        *[F.col(f"_gqv.{k}") for k in keys], "_v", "_i", "_frac", "_side"
     )
     per_pct = hit.groupBy(*keys, "_i", "_frac").agg(
         F.max(F.when(F.col("_side") == "lo", F.col("_v"))).alias("_vlo"),

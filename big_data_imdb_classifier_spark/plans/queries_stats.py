@@ -613,3 +613,290 @@ def winsorize_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "stats_gini_customer_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (SELECT rev, row_number() OVER (ORDER BY rev) AS i FROM rev)
+    SELECT count(*)::BIGINT AS n_customers,
+           round(sum(rev), 2) AS total_rev,
+           round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+                 - (count(*) + 1.0) / count(*), {_R}) AS gini
+    FROM r
+    """,
+)
+def stats_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer revenue concentration — the
+    inequality summary behind "top-X% of customers drive Y% of revenue"
+    dashboards and, in corpus curation, domain/source concentration
+    screens. G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted
+    per-customer revenue.
+
+    The rank-weighted sum needs every row's GLOBAL rank — the classic
+    single-reducer trap (row_number over an unpartitioned window). Here
+    ranks come compressed and distributed: group revenues into distinct
+    (value, count) pairs, two-level prefix sum (operators.stats.
+    distributed_cumsum) gives each value its exact rank interval
+    (prev, cum], and the tied block's rank-weight Σ i for i in that
+    interval is the closed form (cum(cum+1) − prev(prev+1))/2 — exact
+    under ties because tied values share x. One distinct-value shuffle +
+    one constant-size broadcast; no global sort, no data-sized window.
+    Revenue rounds to cents BEFORE ranking on both engines so FP sum
+    order cannot perturb rank boundaries (same intermediate-rounding
+    pattern as graph_copurchase_pagerank's _MID_R)."""
+    from ..operators.stats import distributed_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    vc = rev.groupBy("rev").agg(F.count("*").alias("_c"))
+    cum = distributed_cumsum(vc, [], "rev", ["_c"])
+    prev = F.col("_c_cum") - F.col("_c")
+    # Σ of ranks occupied by this tied value block, in closed form.
+    rank_wt = (
+        F.col("_c_cum") * (F.col("_c_cum") + 1) - prev * (prev + 1)
+    ) / 2.0
+    return cum.agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("rev") * F.col("_c")).alias("_sx"),
+        F.sum(F.col("rev") * rank_wt).alias("_six"),
+    ).select(
+        F.col("_n").alias("n_customers"),
+        F.round(F.col("_sx"), 2).alias("total_rev"),
+        F.round(
+            2.0 * F.col("_six") / (F.col("_n") * F.col("_sx"))
+            - (F.col("_n") + 1.0) / F.col("_n"),
+            _R,
+        ).alias("gini"),
+    )
+
+
+_KS_A = "1-URGENT"
+_KS_B = "5-LOW"
+_KS_C95 = 1.358  # Kolmogorov critical coefficient at alpha = 0.05
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_totalprice AS v,
+             count(*) FILTER (o_orderpriority = '{_KS_A}') AS c1,
+             count(*) FILTER (o_orderpriority = '{_KS_B}') AS c2
+      FROM orders
+      WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1c,
+             sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2c
+      FROM f
+    ),
+    t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM f)
+    SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+           round(max(abs(c1c / n1 - c2c / n2)), {_R}) AS ks_d,
+           round({_KS_C95} * sqrt((n1 + n2) / (1.0 * n1 * n2)), {_R})
+             AS crit_95,
+           round(max(abs(c1c / n1 - c2c / n2)), {_R})
+             > round({_KS_C95} * sqrt((n1 + n2) / (1.0 * n1 * n2)), {_R})
+             AS reject_95
+    FROM c, t GROUP BY n1, n2
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV–SMIRNOV test: D = max |F₁(v) − F₂(v)| over
+    the pooled support, comparing order-value distributions between
+    urgent and low-priority orders — the standard drift / A-B
+    distribution check (train-vs-serve feature drift, corpus snapshot
+    shift) that needs the WHOLE distribution, not a moment summary.
+
+    The empirical CDFs are step functions evaluated at every distinct
+    value — a global cumulative count, i.e. exactly the two-level
+    prefix sum (distributed_cumsum, both samples' counters carried in
+    one pass). No sort-to-one-reducer: the shuffle is the distinct
+    value domain, the offset frame is 32 rows. The max-deviation
+    aggregate and the α=0.05 decision (critical value
+    1.358·√((n₁+n₂)/(n₁n₂))) are scalar arithmetic on integer-derived
+    doubles — bit-identical cross-engine."""
+    from ..operators.stats import distributed_cumsum
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin(_KS_A, _KS_B)
+    )
+    vc = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.when(F.col("o_orderpriority") == _KS_A, 1)).alias("c1"),
+        F.count(F.when(F.col("o_orderpriority") == _KS_B, 1)).alias("c2"),
+    )
+    cum = distributed_cumsum(vc, [], "v", ["c1", "c2"])
+    tot = vc.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    d = F.abs(
+        F.col("c1_cum") / F.col("n1") - F.col("c2_cum") / F.col("n2")
+    )
+    crit = F.round(
+        _KS_C95
+        * F.sqrt((F.col("n1") + F.col("n2")) / (1.0 * F.col("n1") * F.col("n2"))),
+        _R,
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.round(F.max(d), _R).alias("ks_d"))
+        .select(
+            "n1",
+            "n2",
+            "ks_d",
+            crit.alias("crit_95"),
+            (F.col("ks_d") > crit).alias("reject_95"),
+        )
+    )
+
+
+@query(
+    "stats_chi_square_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             count(*)::DOUBLE AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT p, sum(n) AS rn FROM obs GROUP BY 1),
+    ct AS (SELECT s, sum(n) AS cn FROM obs GROUP BY 1),
+    tt AS (SELECT sum(n) AS t, count(*) AS cells FROM obs),
+    cells AS (
+      SELECT coalesce(obs.n, 0.0) AS n, rt.rn * ct.cn / tt.t AS e
+      FROM rt CROSS JOIN ct CROSS JOIN tt
+      LEFT JOIN obs ON obs.p = rt.p AND obs.s = ct.s
+    )
+    SELECT (SELECT t FROM tt)::BIGINT AS n_orders,
+           (((SELECT count(*) FROM rt) - 1)
+            * ((SELECT count(*) FROM ct) - 1))::BIGINT AS dof,
+           round(sum((n - e) * (n - e) / e), {_R}) AS chi2,
+           round(sqrt(sum((n - e) * (n - e) / e)
+                 / ((SELECT t FROM tt)
+                    * least((SELECT count(*) FROM rt) - 1,
+                            (SELECT count(*) FROM ct) - 1))), {_R})
+             AS cramers_v
+    FROM cells
+    """,
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON χ² TEST OF INDEPENDENCE between order priority and order
+    status (5×3 contingency table), plus Cramér's V effect size — the
+    categorical-association screen feature pipelines run before
+    one-hot-encoding correlated columns, and data-quality monitors run
+    to catch status/priority coupling drift.
+
+    Shape: ONE partial+final aggregate over the fact table builds the
+    observed cells; marginals, the zero-cell-completing grid (R×C rows
+    via crossJoin of the two marginal frames), expected counts, and the
+    χ² sum are all broadcast-side arithmetic on ≤15 rows. Zero cells
+    matter: a missing (priority, status) combination still contributes
+    (0−e)²/e, so the grid is built from the marginals, not from the
+    observed frame."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    rt = obs.groupBy("p").agg(F.sum("n").alias("rn"))
+    ct = obs.groupBy("s").agg(F.sum("n").alias("cn"))
+    tt = obs.agg(
+        F.sum("n").alias("t"),
+        F.count_distinct("p").alias("nr"),
+        F.count_distinct("s").alias("nc"),
+    )
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tt))
+        .join(F.broadcast(obs), ["p", "s"], "left")
+        .select(
+            F.coalesce("n", F.lit(0.0)).alias("n"),
+            (F.col("rn") * F.col("cn") / F.col("t")).alias("e"),
+            "t",
+            "nr",
+            "nc",
+        )
+    )
+    term = (F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e")
+    return cells.groupBy("t", "nr", "nc").agg(
+        F.sum(term).alias("_chi2")
+    ).select(
+        F.col("t").cast("long").alias("n_orders"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round("_chi2", _R).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("_chi2")
+                / (F.col("t") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            _R,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "stats_benford_leading_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]')
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM counts)
+    SELECT g.digit,
+           coalesce(counts.n, 0)::BIGINT AS n_orders,
+           round(coalesce(counts.n, 0) / (1.0 * tot.t), {_R}) AS p_obs,
+           round(log10(1.0 + 1.0 / g.digit), {_R}) AS p_benford,
+           round(abs(coalesce(counts.n, 0) / (1.0 * tot.t)
+                     - log10(1.0 + 1.0 / g.digit)), {_R}) AS abs_dev
+    FROM generate_series(1, 9) AS g(digit)
+    LEFT JOIN counts ON counts.digit = g.digit
+    CROSS JOIN tot
+    ORDER BY g.digit
+    """,
+)
+def stats_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW screen: leading-digit distribution of order values
+    vs the log₁₀(1+1/d) expectation — the classic fabricated-data /
+    fraud / synthetic-contamination detector a data-quality gate runs
+    over monetary and count columns.
+
+    The leading digit comes from the double's STRING rendering
+    (first [1-9] char), not floor(v/10^floor(log10 v)): both engines
+    print shortest-roundtrip decimals, so the extracted digit is
+    identical by construction, while libm log10 at exact powers of ten
+    is allowed to land an ulp under the integer and shear the digit
+    cross-engine. One partial+final count by 9 keys; the digit spine is
+    a 9-row range joined broadcast-side so absent digits still report
+    their Benford deficit."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    counts = o.select(
+        F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0)
+        .cast("long")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    p_obs = F.coalesce("n", F.lit(0)) / (1.0 * F.col("t"))
+    p_ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.round(p_obs, _R).alias("p_obs"),
+            F.round(p_ben, _R).alias("p_benford"),
+            F.round(F.abs(p_obs - p_ben), _R).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

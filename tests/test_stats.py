@@ -190,3 +190,51 @@ def test_autocorrelation_is_bounded_and_pairs_shrink(spark):
     assert all(-1.0 <= r["acf"] <= 1.0 for r in rows if r["acf"] is not None)
     pairs = [r["n_pairs"] for r in rows]
     assert pairs == sorted(pairs, reverse=True)
+
+
+def test_distributed_cumsum_matches_window(spark):
+    """distributed_cumsum == a plain single-partition window cumsum, on
+    signed multi-measure data (the partition totals must come from the
+    raw measure, not the running max) — global and keyed forms."""
+    from pyspark.sql.window import Window
+
+    from big_data_imdb_classifier_spark.operators.stats import (
+        distributed_cumsum,
+    )
+
+    rows = [
+        (k, i, (i * 7 + ord(k)) % 13 - 6, float((i * 3 - ord(k)) % 11 - 5))
+        for k in ("a", "b")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, o INT, m1 INT, m2 DOUBLE")
+
+    # Keyed form.
+    got = {
+        (r["k"], r["o"]): (r["m1_cum"], r["m2_cum"])
+        for r in distributed_cumsum(df, ["k"], "o", ["m1", "m2"]).collect()
+    }
+    w = Window.partitionBy("k").orderBy("o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r["k"], r["o"]): (r["c1"], r["c2"])
+        for r in df.select(
+            "k",
+            "o",
+            F.sum("m1").over(w).alias("c1"),
+            F.sum("m2").over(w).alias("c2"),
+        ).collect()
+    }
+    assert got == want
+
+    # Global form (keys=[]): dummy key added and dropped.
+    gdf = df.where(F.col("k") == "a").select("o", "m1")
+    gout = distributed_cumsum(gdf, [], "o", ["m1"])
+    assert set(gout.columns) == {"o", "m1", "m1_cum"}
+    got_g = {r["o"]: r["m1_cum"] for r in gout.collect()}
+    acc, want_g = 0, {}
+    for i in range(200):
+        acc += (i * 7 + ord("a")) % 13 - 6
+        want_g[i] = acc
+    assert got_g == want_g
