@@ -1646,3 +1646,240 @@ def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+_CUSUM_REF_DAYS = 14   # reference window: days 1..14 set the baseline
+_CUSUM_SHIFT_DOM = 20  # inject a +20% level shift from this day-of-month
+_CUSUM_K = 0.5         # allowance, in sigma units
+_CUSUM_H = 4.0         # decision threshold, in sigma units
+_CUSUM_EPS = 1e-9      # degenerate-variance floor, mirrored in the oracle
+_CUSUM_MIDR = 6        # intermediate rounding pins FP cross-engine
+
+
+@query(
+    "event_cusum_changepoint",
+    oracle=f"""
+    WITH daily0 AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS n0
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT day,
+        n0 + CASE WHEN extract(day FROM day) >= {_CUSUM_SHIFT_DOM}
+                  THEN CAST(floor(n0 / 5.0) AS BIGINT) ELSE 0 END AS n,
+        extract(day FROM day) >= {_CUSUM_SHIFT_DOM} AS shifted,
+        row_number() OVER (ORDER BY day) AS i
+      FROM daily0
+    ),
+    ref AS (
+      SELECT round(avg(n), {_CUSUM_MIDR}) AS mu0,
+             round(greatest(stddev_samp(n), {_CUSUM_EPS}), {_CUSUM_MIDR})
+               AS sigma0
+      FROM daily WHERE i <= {_CUSUM_REF_DAYS}
+    ),
+    dev AS (
+      SELECT day, n, shifted, mu0, sigma0,
+        sum(n - mu0 - {_CUSUM_K} * sigma0)
+          OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS c
+      FROM daily CROSS JOIN ref
+    ),
+    cs AS (
+      SELECT day, n, shifted, sigma0,
+        c - least(min(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+          AS s_pos
+      FROM dev
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n_events,
+           shifted, round(s_pos, {ROUND_DIGITS}) AS cusum,
+           s_pos > {_CUSUM_H} * sigma0 AS alarm
+    FROM cs ORDER BY day
+    """,
+)
+def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on the daily event volume — the
+    sequential changepoint monitor (Page's test) that catches a SUSTAINED
+    drift the per-day MAD detector (event_daily_anomalies) is blind to:
+    each day sits within its own z-band, but the cumulative excess over
+    the baseline mean grows linearly and crosses the decision threshold.
+
+    Same inject-then-verify harness as the MAD query: the synthetic
+    volume is uniform, so a +20% level shift is planted from day-of-month
+    20 onward (``shifted`` rides along) and the CUSUM must alarm only
+    after the shift. Baseline μ₀/σ₀ come from the first 14 days (the
+    reference-window practice), round at 1e-6 so Welford-vs-two-pass
+    variance ulps cannot diverge the recursion cross-engine.
+
+    The textbook recursion S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ₀ − kσ₀)) is not
+    a window aggregate — but its closed form IS: S⁺ₜ = Cₜ − min(0,
+    min_{{j≤t}} Cⱼ) over the plain cumulative sum Cₜ. Both cumulations run
+    on the days frame (calendar-bounded, ~30 rows — the sweep-line
+    precedent); the corpus-sized work is one partial+final daily count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .select(
+            "day",
+            (
+                F.col("n0")
+                + F.when(
+                    F.dayofmonth("day") >= _CUSUM_SHIFT_DOM,
+                    F.floor(F.col("n0") / 5.0).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("n"),
+            (F.dayofmonth("day") >= _CUSUM_SHIFT_DOM).alias("shifted"),
+        )
+    )
+    w_day = Window.orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w_day))
+    ref = idx.where(F.col("i") <= _CUSUM_REF_DAYS).agg(
+        F.round(F.avg("n"), _CUSUM_MIDR).alias("mu0"),
+        F.round(
+            F.greatest(F.stddev_samp("n"), F.lit(_CUSUM_EPS)), _CUSUM_MIDR
+        ).alias("sigma0"),
+    )
+    w_cum = w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = idx.crossJoin(F.broadcast(ref)).withColumn(
+        "c",
+        F.sum(
+            F.col("n") - F.col("mu0") - _CUSUM_K * F.col("sigma0")
+        ).over(w_cum),
+    )
+    s_pos = F.col("c") - F.least(F.min("c").over(w_cum), F.lit(0.0))
+    return dev.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("n_events"),
+        "shifted",
+        F.round(s_pos, ROUND_DIGITS).alias("cusum"),
+        (s_pos > _CUSUM_H * F.col("sigma0")).alias("alarm"),
+    ).orderBy("day")
+
+
+_EWMA_A = 0.3  # smoothing factor
+
+
+@query(
+    "event_ewma_daily",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*)::DOUBLE AS n
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM daily
+    ),
+    rec AS (
+      SELECT i, day, n, n AS ewma FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.i, idx.day, idx.n,
+             round({_EWMA_A} * idx.n + {1 - _EWMA_A} * rec.ewma,
+                   {_CUSUM_MIDR}) AS ewma
+      FROM idx JOIN rec ON idx.i = rec.i + 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n_events,
+           round(ewma, {ROUND_DIGITS}) AS ewma,
+           round(n / ewma - 1.0, {ROUND_DIGITS}) AS pct_dev
+    FROM rec ORDER BY day
+    """,
+)
+def event_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY-WEIGHTED MOVING AVERAGE of the daily event volume
+    (α=0.3, seeded at the first observation) with per-day deviation —
+    the smoothed-baseline form dashboards and alerting rules quote
+    ("today is +12% over trend").
+
+    EWMA is a sequential recursion, not a window aggregate — on the
+    corpus it would be a mis-shape, but the recursion runs on the DAILY
+    frame (calendar-bounded, ~30 rows after the one corpus-sized
+    reduce), so it folds as a JVM higher-order F.aggregate over the
+    array-sorted day series: the accumulator grows the EWMA sequence,
+    each step rounding at 1e-6 so both engines iterate identical
+    doubles (the oracle is the same recursion as a recursive CTE).
+    Nothing leaves the JVM; nothing collects to the driver."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("s")
+    )
+    folded = F.aggregate(
+        F.col("s"),
+        F.lit(None).cast("array<double>"),
+        lambda acc, x: F.when(acc.isNull(), F.array(x["n"])).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.round(
+                        _EWMA_A * x["n"]
+                        + (1 - _EWMA_A) * F.element_at(acc, -1),
+                        _CUSUM_MIDR,
+                    )
+                ),
+            )
+        ),
+    )
+    return (
+        arr.select("s", folded.alias("e"))
+        .select(F.posexplode("s").alias("i", "t"), F.col("e"))
+        .select(
+            F.date_format(F.col("t.day"), "yyyy-MM-dd").alias("day"),
+            F.col("t.n").cast("long").alias("n_events"),
+            F.round(F.element_at("e", F.col("i") + 1), ROUND_DIGITS).alias(
+                "ewma"
+            ),
+            F.round(
+                F.col("t.n") / F.element_at("e", F.col("i") + 1) - 1.0,
+                ROUND_DIGITS,
+            ).alias("pct_dev"),
+        )
+        .orderBy("day")
+    )
+
+
+_TRI_TOPK = 15
+
+
+@query(
+    "event_path_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS e1,
+        lead(event_type, 1) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        lead(event_type, 2) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1, e2, e3, count(*)::BIGINT AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {_TRI_TOPK}
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral TRIGRAMS — the most frequent three-step event-type
+    paths across user timelines (lead×2 within the per-user order) — the
+    sequence-mining primitive behind funnel discovery and next-action
+    models, and the event-stream twin of the text n-gram queries.
+
+    One (user_id)-partitioned sort-window produces both leads in a
+    single exchange; the trigram count is a partial+final aggregate on
+    a ≤|event_types|³ key space, and the top-K is TakeOrderedAndProject
+    (no global sort materialization) with a full deterministic
+    tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(_TRI_TOPK)
+    )
