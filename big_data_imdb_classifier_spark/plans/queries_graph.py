@@ -222,3 +222,86 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "part_b", "part_c")
     )
+
+
+_BFS_MAX_LEVEL = 3
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey <> b.l_partkey
+    ),
+    reach AS (
+      SELECT (SELECT min(src) FROM edges) AS node, 0 AS level
+      UNION
+      SELECT e.dst, r.level + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.level < {_BFS_MAX_LEVEL}
+    ),
+    lv AS (SELECT node, min(level) AS level FROM reach GROUP BY node)
+    SELECT level, count(*)::BIGINT AS n_parts,
+           min(node)::BIGINT AS min_part, max(node)::BIGINT AS max_part
+    FROM lv GROUP BY level ORDER BY level
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BREADTH-FIRST SEARCH over the part co-purchase graph: exact hop
+    distance from a deterministic seed (the smallest part key), levels
+    0..3 — the reachability/expansion primitive behind "related items
+    within k hops", blast-radius queries, and seed-expansion labeling in
+    corpus curation (expand a trusted domain seed set along the link
+    graph).
+
+    Distributed frontier iteration — the third canonical graph shape in
+    this module, next to power iteration (pagerank) and oriented
+    counting (triangles): per hop, ONE equi-join of the current frontier
+    to the edge list on src + a distinct + an anti-join against the
+    visited set. The frontier and visited frames hold (node) rows only —
+    never edges — so at 100 TB the per-hop shuffles are node-sized while
+    the edge list stays partitioned in place (persisted once, reused by
+    every hop, same as pagerank's edge reuse). The unroll is fixed at 3
+    hops to stay oracle-checkable (DuckDB recursive CTE with UNION-
+    distinct semantics — UNION ALL would enumerate PATHS, combinatorial
+    on a dense co-purchase graph); unbounded traversal belongs to the
+    same convergence loop as operators.graph.pagerank_until, with a
+    localCheckpoint every few hops to truncate lineage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_pairs(li, directed=True)
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    seed = edges.agg(F.min("src").alias("node"))
+    frontier = seed.withColumn("level", F.lit(0))
+    visited = frontier.localCheckpoint(eager=True)
+    for lvl in range(1, _BFS_MAX_LEVEL + 1):
+        nxt = (
+            visited.where(F.col("level") == lvl - 1)
+            .join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+        )
+        # Eager checkpoint per hop: keeps each hop's plan one join deep
+        # instead of re-deriving every earlier frontier (and bounds
+        # lineage growth for deeper traversals).
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+    edges.unpersist()
+    return (
+        visited.groupBy("level")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("node").alias("min_part"),
+            F.max("node").alias("max_part"),
+        )
+        .orderBy("level")
+    )

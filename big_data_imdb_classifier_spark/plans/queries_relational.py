@@ -1319,3 +1319,58 @@ def collation_case_insensitive_count(
         )
         .orderBy("p_brand")
     )
+
+
+_BLOOM_PRIO = "1-URGENT"
+_BLOOM_MIN_TOTAL = 250_000.0
+
+
+@query(
+    "join_runtime_bloom_pruned",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           count(*)::BIGINT AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '{_BLOOM_PRIO}'
+      AND o.o_totalprice > {_BLOOM_MIN_TOTAL}
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def join_runtime_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim-filter join — the shape Spark's RUNTIME BLOOM
+    FILTER exists for: a highly selective predicate on orders prunes the
+    join, but lineitem's scan cannot see that predicate (it's on the
+    OTHER table), so without a runtime filter the full fact table
+    shuffles only to be discarded at the join.
+
+    The plan is intentionally conf-driven, not hand-forced: at this SF
+    the filtered orders side sits under the broadcast threshold and
+    Catalyst correctly picks a BroadcastHashJoin (a bloom filter would
+    be pure overhead — the broadcast hash set IS the perfect filter).
+    At 100 TB both sides exceed broadcast, the planner falls to a
+    shuffle join, and the default runtime-filter thresholds
+    (creation side ≤ 10 MB after the selective predicate, application
+    scan ≥ 10 GB) inject ``bloom_filter_might_contain(l_orderkey)``
+    INTO THE LINEITEM SCAN, cutting the fact shuffle to near the match
+    set. tests/test_plans.py forces the shuffle-join regime at local
+    scale and asserts both the injection and result equality, so the
+    scale behavior is pinned, not assumed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == _BLOOM_PRIO)
+        & (F.col("o_totalprice") > _BLOOM_MIN_TOTAL)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

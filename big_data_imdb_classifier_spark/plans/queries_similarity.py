@@ -341,3 +341,127 @@ def mapinarrow_embedding_quantize(
         )
         .orderBy("label")
     )
+
+
+_MS_SUB = 4          # sub-vectors per embedding (64 dims -> 4 x 16)
+_MS_DIM = 16
+_MS_TOPK = 10
+
+
+@query(
+    "sim_maxsim_multivector",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce
+      FROM embeddings
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_MS_SUB - 1})) AS i),
+    qs AS (
+      SELECT query_id, i AS qi,
+             qe[1 + {_MS_DIM} * i : {_MS_DIM} * (i + 1)] AS qv
+      FROM q, sub
+    ),
+    cs AS (
+      SELECT neighbor_id, i AS di,
+             ce[1 + {_MS_DIM} * i : {_MS_DIM} * (i + 1)] AS dv
+      FROM c, sub
+    ),
+    best AS (
+      SELECT query_id, neighbor_id, qi,
+        max(list_dot_product(qv, dv)
+            / (sqrt(list_dot_product(qv, qv))
+               * sqrt(list_dot_product(dv, dv)))) AS m
+      FROM qs, cs
+      WHERE query_id <> neighbor_id
+      GROUP BY 1, 2, 3
+    ),
+    scores AS (
+      SELECT query_id, neighbor_id, sum(m) AS s FROM best GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, s,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY s DESC, neighbor_id) AS rank
+      FROM scores
+    )
+    SELECT query_id, neighbor_id, rank, round(s, {ROUND_DIGITS}) AS maxsim
+    FROM ranked WHERE rank <= {_MS_TOPK} ORDER BY query_id, rank
+    """,
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION (ColBERT-style MaxSim) retrieval: each embedding
+    is treated as a MULTI-VECTOR document — 4 sub-vectors of 16 dims —
+    and score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ): every query sub-vector finds
+    its best-matching document sub-vector, and the per-token maxima sum.
+    The retrieval scorer of multi-vector rerankers, where a single
+    pooled cosine (knn_exact_cosine) washes out token-level matches.
+
+    Shape: the 5-query side broadcasts (same as knn_exact_cosine); the
+    4×4 sub-vector grid evaluates INSIDE the JVM row — nested
+    higher-order functions (transform over document sub-slices, max,
+    fold over query sub-slices), no explode, so the corpus scan stays
+    one row per document and the only shuffle is the per-query top-k
+    ranking. At 100 TB the scale path is the same bucketed-candidate
+    route as the ANN queries (LSH/IVF shortlist, MaxSim as the exact
+    re-rank stage — precisely how late-interaction systems deploy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def subvecs(col):
+        return F.array(
+            *[
+                F.slice(col, 1 + _MS_DIM * i, _MS_DIM)
+                for i in range(_MS_SUB)
+            ]
+        )
+
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        subvecs(SIM.as_double("embedding")).alias("qsub"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        subvecs(SIM.as_double("embedding")).alias("dsub"),
+    )
+    pair = c.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    score = F.aggregate(
+        F.col("qsub"),
+        F.lit(0.0),
+        lambda acc, qv: acc
+        + F.array_max(
+            F.transform(
+                F.col("dsub"),
+                lambda dv: dot(qv, dv)
+                / (F.sqrt(dot(qv, qv)) * F.sqrt(dot(dv, dv))),
+            )
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("neighbor_id")
+    )
+    return (
+        pair.select("query_id", "neighbor_id", score.alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _MS_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("s", ROUND_DIGITS).alias("maxsim"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1706,3 +1706,76 @@ def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "budget")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_entropy_kl_by_source",
+    oracle=f"""
+    WITH st AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    c AS (
+      SELECT source, token, count(*)::DOUBLE AS n FROM st GROUP BY 1, 2
+    ),
+    s AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+    tk AS (SELECT token, sum(n) AS nt FROM c GROUP BY 1),
+    tot AS (SELECT sum(n) AS nn FROM c)
+    SELECT c.source,
+           any_value(s.ns)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS vocab,
+           round(-sum((n / ns) * log2(n / ns)), {ROUND_DIGITS})
+             AS entropy_bits,
+           round(sum((n / ns) * log2((n / ns) / (nt / nn))),
+                 {ROUND_DIGITS}) AS kl_to_corpus_bits
+    FROM c
+    JOIN s USING (source)
+    JOIN tk USING (token)
+    CROSS JOIN tot
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def text_entropy_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram ENTROPY and KL DIVERGENCE to the corpus
+    distribution — the mixture-diagnostics pair a training-data pipeline
+    reads before weighting sources: low entropy flags template/boiler-
+    plate-heavy sources (cf. quality_repetition_gopher, which scores
+    single documents; this scores the SOURCE), high KL flags sources
+    whose vocabulary the rest of the corpus does not cover — both inputs
+    to the temperature-mixing step (sample_mixture_temperature).
+
+    Shape: one explode + (source, token) count is the only corpus-sized
+    shuffle (partial agg absorbs token mass map-side); the corpus
+    marginal q(t) is a second vocab-sized aggregate joined back on
+    token; per-source totals and the grand total ride as broadcast
+    scalars. KL is finite by construction — q(t) ≥ p_s(t)·Nₛ/N > 0
+    wherever p_s > 0 — so no epsilon guard is needed on either engine."""
+    docs = _docs(spark, sf_dir)
+    c = (
+        TX.explode_no_refilter(
+            docs.select("source", TX.tokens_col("text").alias("toks")),
+            "toks",
+            "token",
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    s = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    tk = c.groupBy("token").agg(F.sum("n").alias("nt"))
+    tot = c.agg(F.sum("n").alias("nn"))
+    p = F.col("n") / F.col("ns")
+    q = F.col("nt") / F.col("nn")
+    return (
+        c.join(F.broadcast(s), "source")
+        .join(tk, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.any_value("ns").cast("long").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.round(-F.sum(p * F.log2(p)), ROUND_DIGITS).alias(
+                "entropy_bits"
+            ),
+            F.round(F.sum(p * F.log2(p / q)), ROUND_DIGITS).alias(
+                "kl_to_corpus_bits"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -512,3 +512,31 @@ def test_zorder_layout_prunes_more_files(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(p_sorted).where(box).collect()}
     b = {tuple(r) for r in spark.read.parquet(p_z).where(box).collect()}
     assert a == b and len(a) > 0
+
+
+def test_bloom_pruned_query_injects_filter_under_shuffle_regime(spark):
+    """join_runtime_bloom_pruned's docstring claim, pinned: under the
+    regime the query meets at 100 TB (no broadcast, thresholds
+    satisfied), the optimizer injects might_contain on the lineitem
+    side, and the result is identical to the default-regime (broadcast)
+    plan."""
+    name = "join_runtime_bloom_pruned"
+    default_rows = plans.QUERIES[name](spark, SF_SMOKE).collect()
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = plans.QUERIES[name](spark, SF_SMOKE)
+        plan = _explain(spark, df)
+        assert "might_contain" in plan.lower(), plan
+        assert df.collect() == default_rows
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
