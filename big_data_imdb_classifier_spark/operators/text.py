@@ -601,3 +601,85 @@ def sample_by_hash_stratified(
             F.col(strata_col) == stratum, bucket < F.lit(num * 1_000_000 // den)
         ).otherwise(keep)
     return df.where(keep)
+
+
+def bpe_train_merges(
+    words: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    count_col: str = "n",
+) -> list[tuple[int, str, str, str, int]]:
+    """DISTRIBUTED BPE TOKENIZER TRAINING (Sennrich et al. 2016,
+    arXiv:1508.07909): learn ``n_merges`` merge rules from a
+    (word, count) vocabulary — the tokenizer-fitting step of an LLM
+    data pipeline, and this engine's canonical driver-coordinated
+    iterative algorithm (like PageRank's convergence loop, but the
+    per-round reduction is an argmax the driver must see to build the
+    next round's plan).
+
+    Per round, entirely on executors: (1) adjacent symbol pairs of
+    every word's current segmentation fan out via a JVM higher-order
+    transform (overlapping pairs, weighted by word count — Sennrich's
+    get_stats); (2) one partial+final aggregate + deterministic top-1
+    (count DESC, pair ASC — TakeOrderedAndProject) yields the best
+    pair; (3) a greedy left-to-right fold (F.aggregate) rewrites every
+    segmentation, merging non-overlapping occurrences. The ONLY
+    driver traffic is the 1-row argmax per round — the same bounded
+    collect class as the IVF-PQ codebook sample. State is the
+    vocabulary-sized segmentation table, localCheckpointed each round
+    so plans stay one-round deep; at 100 TB the corpus is touched once
+    (to build the vocabulary) and every round shuffles only the
+    distinct-word frame.
+
+    Returns [(rank, left, right, merged, pair_count)], rank 1-based.
+    """
+    seg = words.select(
+        F.col(word_col).alias("w"),
+        F.col(count_col).alias("c"),
+        F.split(F.col(word_col), "").alias("seg"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            seg.where(F.size("seg") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("seg") - 1),
+                        lambda i: F.struct(
+                            F.element_at("seg", i).alias("l"),
+                            F.element_at("seg", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        l, r, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["cnt"])
+        merged = l + r
+        merges.append((rank, l, r, merged, cnt))
+        folded = F.aggregate(
+            F.col("seg"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        seg = seg.select("w", "c", folded.alias("seg")).localCheckpoint(
+            eager=True
+        )
+    return merges

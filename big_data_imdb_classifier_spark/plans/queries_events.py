@@ -1883,3 +1883,81 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(_TRI_TOPK)
     )
+
+
+_STL_HALF = 3  # centered moving-average half-width (7-day window)
+
+
+@query(
+    "event_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::DATE AS day, count(*)::DOUBLE AS n
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, n,
+        round(avg(n) OVER (ORDER BY day
+                           ROWS BETWEEN {_STL_HALF} PRECEDING
+                                    AND {_STL_HALF} FOLLOWING),
+              {ROUND_DIGITS + 2}) AS trend
+      FROM daily
+    ),
+    sea AS (
+      SELECT dayofweek(day) AS dow,
+             round(avg(n - trend), {ROUND_DIGITS + 2}) AS seasonal
+      FROM tr GROUP BY 1
+    )
+    SELECT strftime(tr.day, '%Y-%m-%d') AS day, n::BIGINT AS n_events,
+           round(trend, {ROUND_DIGITS}) AS trend,
+           round(seasonal, {ROUND_DIGITS}) AS seasonal,
+           round(n - trend - seasonal, {ROUND_DIGITS}) AS residual
+    FROM tr JOIN sea ON sea.dow = dayofweek(tr.day)
+    ORDER BY tr.day
+    """,
+)
+def event_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ADDITIVE SEASONAL DECOMPOSITION of the daily volume
+    (STL-lite): trend = centered 7-day moving average, seasonal =
+    weekday mean of the detrended series, residual = remainder — the
+    decomposition monitoring stacks run before alerting on "volume
+    dropped" (is it a real drop, or just Sunday?). Completes the
+    time-series suite: ACF detects the weekly cycle, the seasonality
+    table quantifies it, CUSUM/MAD alarm on level shifts and spikes,
+    and this separates all three components per day.
+
+    Scale shape: one corpus-sized daily reduce; every window and join
+    after it runs on the calendar-bounded day frame (~30 rows — the
+    sweep-line precedent), with the 7-row weekday table joined back
+    broadcast-style. Edge days keep their partial centered window
+    (avg over the available frame) — identical semantics on both
+    engines. Trend/seasonal round at 1e-6 before the subtraction so
+    the residual's two chained float differences cannot drift the
+    1e-4 hash."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-_STL_HALF, _STL_HALF)
+    tr = daily.withColumn(
+        "trend", F.round(F.avg("n").over(w_ma), ROUND_DIGITS + 2)
+    ).withColumn("dow", F.dayofweek("day") - 1)
+    sea = tr.groupBy("dow").agg(
+        F.round(
+            F.avg(F.col("n") - F.col("trend")), ROUND_DIGITS + 2
+        ).alias("seasonal")
+    )
+    return (
+        tr.join(F.broadcast(sea), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round("trend", ROUND_DIGITS).alias("trend"),
+            F.round("seasonal", ROUND_DIGITS).alias("seasonal"),
+            F.round(
+                F.col("n") - F.col("trend") - F.col("seasonal"),
+                ROUND_DIGITS,
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )

@@ -1374,3 +1374,48 @@ def join_runtime_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "sql_lateral_topk_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS c_acctbal, t.rk
+    FROM nation n
+    JOIN LATERAL (
+      SELECT c.c_custkey, c.c_acctbal,
+             row_number() OVER (ORDER BY c.c_acctbal DESC, c.c_custkey)
+               AS rk
+      FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 3
+    ) t ON true
+    ORDER BY n.n_name, t.rk
+    """,
+)
+def sql_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table — the remaining SQL join form
+    after correlated scalar subqueries (sql_correlated_above_nation_avg)
+    and EXISTS (sql_exists_not_exists): a per-outer-row subquery in the
+    FROM clause, here "top-3 customers by balance for each nation".
+    Semantically the per-group top-k of flagship_top_customer_per_nation
+    expressed the way SQL users port it from Postgres/DuckDB — the
+    engine must accept the form, and Catalyst must DECORRELATE it
+    (DomainJoin → window over the join domain) rather than re-running
+    the subquery per outer row, which is what makes it safe at a
+    100 TB outer table."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey,
+               round(t.c_acctbal, 2) AS c_acctbal, t.rk
+        FROM v_nation n
+        JOIN LATERAL (
+          SELECT c.c_custkey, c.c_acctbal,
+                 row_number() OVER (ORDER BY c.c_acctbal DESC, c.c_custkey)
+                   AS rk
+          FROM v_customer c WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.rk
+        """
+    )

@@ -1779,3 +1779,69 @@ def text_entropy_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BPE_MERGES = 10
+
+
+@query(
+    "bpe_merge1_gate",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    vocab AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+    chars AS (
+      SELECT c, string_split(w, '') AS s FROM vocab WHERE length(w) >= 2
+    ),
+    pairs AS (
+      SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(c)::BIGINT AS pair_count
+      FROM chars, unnest(generate_series(1, len(s) - 1)) AS t(i)
+      GROUP BY 1, 2
+    )
+    SELECT 1 AS rank, lhs, rhs, lhs || rhs AS merged, pair_count
+    FROM pairs ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    """,
+)
+def bpe_merge1_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the BPE trainer: the FIRST merge rule is pure
+    SQL (character-bigram argmax over the weighted vocabulary), so the
+    operator's pair-counting, weighting, and deterministic tiebreak are
+    hash-pinned here; the full iterative table (bpe_train_merges) is
+    rows-only with a pure-Python reference pytest — the same
+    gate-the-checkable-core pattern as knn_ann_recall_gate."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        TX.explode_no_refilter(
+            docs.select(TX.tokens_col("text").alias("toks")), "toks", "w"
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = TX.bpe_train_merges(vocab, 1, word_col="w", count_col="n")
+    return spark.createDataFrame(
+        merges,
+        "rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+@query("bpe_train_merges")  # rows-only: iterative (driver-coordinated
+# argmax per round) — no SQL oracle exists; pinned instead by
+# bpe_merge1_gate (hash) + the pure-Python reference in tests/test_text.py
+def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten BPE merge rules learned from the document corpus — the
+    tokenizer-training step of the data pipeline (see
+    operators.text.bpe_train_merges for the distributed shape)."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        TX.explode_no_refilter(
+            docs.select(TX.tokens_col("text").alias("toks")), "toks", "w"
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = TX.bpe_train_merges(
+        vocab, _BPE_MERGES, word_col="w", count_col="n"
+    )
+    return spark.createDataFrame(
+        merges,
+        "rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
+    )

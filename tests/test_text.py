@@ -383,3 +383,58 @@ def test_curation_funnel_invariants(spark):
     # survivors inside the funnel's own lineage must reproduce the count
     frac = rows["sampled"]["n_docs"] / rows["decontaminated"]["n_docs"]
     assert 0.05 < frac < 0.5  # quarter-ish, deterministic, never empty
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    """The distributed BPE trainer must reproduce the sequential
+    Sennrich algorithm exactly: overlapping pair counts weighted by
+    word frequency, deterministic (count DESC, pair ASC) tiebreak,
+    greedy left-to-right non-overlapping merge rewrite."""
+    import re
+
+    from big_data_imdb_classifier_spark.operators.text import (
+        bpe_train_merges,
+    )
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    word_counts: dict[str, int] = {}
+    for row in docs.select("text").collect():
+        for w in re.split(r"\s+", row["text"].strip()):
+            word_counts[w] = word_counts.get(w, 0) + 1
+
+    def ref(word_counts, k):
+        segs = {w: list(w) for w in word_counts}
+        merges = []
+        for rank in range(1, k + 1):
+            stats: dict[tuple[str, str], int] = {}
+            for w, c in word_counts.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    stats[(s[i], s[i + 1])] = stats.get(
+                        (s[i], s[i + 1]), 0
+                    ) + c
+            if not stats:
+                break
+            (l, r), cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((rank, l, r, l + r, cnt))
+            for w, s in segs.items():
+                out: list[str] = []
+                for x in s:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                segs[w] = out
+        return merges
+
+    vocab = spark.createDataFrame(
+        list(word_counts.items()), "w STRING, n LONG"
+    )
+    got = bpe_train_merges(vocab, 6, word_col="w", count_col="n")
+    want = ref(word_counts, 6)
+    assert got == want
