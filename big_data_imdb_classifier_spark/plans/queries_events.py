@@ -1961,3 +1961,68 @@ def event_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "event_session_window_builtin",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                  >= INTERVAL '30 minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{_FMT_DUCK}')
+             AS session_end_gap,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def event_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``F.session_window`` in a batch aggregation,
+    cross-validated against an independent gaps-and-islands SQL
+    derivation — so the builtin's exact merge semantics (a session is
+    [start, last+gap); an event landing EXACTLY at the gap boundary
+    starts a NEW session, hence the oracle's >= where
+    event_sessionization uses >) are hash-pinned, not assumed. The same
+    builtin drives the streaming twin (tests/test_streaming.py); this
+    pins batch/stream/SQL to one semantic.
+
+    Plan: session_window is a single partial+final SessionWindow
+    aggregation — one shuffle on user_id, sessions assembled inside the
+    aggregate, no window-function pass at all (compare
+    event_sessionization's two-window + agg shape over the same
+    exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end_gap"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

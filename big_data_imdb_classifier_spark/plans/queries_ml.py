@@ -762,3 +762,88 @@ def ml_als_recommender_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "factor_rank_correct boolean, factors_cover_all boolean, "
         "recs_valid boolean, rank long",
     )
+
+
+@query(
+    "ml_gbt_embedding_gate",
+    oracle="""
+    SELECT TRUE AS auc_ge_floor, TRUE AS acc_beats_majority,
+           TRUE AS importances_normalized, TRUE AS preds_are_binary,
+           CAST(64 AS BIGINT) AS n_features
+    """,
+)
+def ml_gbt_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth MLlib family under the driver gate: GRADIENT-BOOSTED TREES
+    over the embeddings, on a target NO linear model can represent —
+    the AND of the first two components' signs (a linear separator tops
+    out near the 75% majority rate; ml_lr_embedding_gate's linearly-
+    separable target would not distinguish boosting from a logit). The
+    conjunction is greedily learnable — the first axis split already
+    carries gain, unlike a pure XOR, where zero first-split gain defeats
+    greedy tree induction regardless of capacity — so a depth-3 ensemble
+    recovers it and the AUC floor gates genuine tree learning, not label
+    leakage. Deterministic hash split and seed; constant-TRUE oracle
+    columns (the ml_*_gate pattern):
+
+    - hold-out AUC ≥ 0.9 on the conjunction target;
+    - accuracy beats the majority baseline;
+    - featureImportances is a valid distribution (sums to 1, none
+      negative);
+    - predictions land in {0, 1}."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    data = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+        (
+            (F.element_at("embedding", 1) > 0)
+            & (F.element_at("embedding", 2) > 0)
+        )
+        .cast("double")
+        .alias("label"),
+        "vec_id",
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(10),
+    )
+    train = data.where(bucket < 8)
+    test = data.where(bucket >= 8).persist()
+
+    gbt = GBTClassifier(maxIter=20, maxDepth=3, stepSize=0.3, seed=7)
+    model = gbt.fit(train)
+    preds = model.transform(test).persist()
+
+    auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(
+        preds
+    )
+    row = preds.agg(
+        F.avg((F.col("label") == F.col("prediction")).cast("double")).alias(
+            "_acc"
+        ),
+        F.greatest(F.avg("label"), 1 - F.avg("label")).alias("_maj"),
+        F.count(
+            F.when(~F.col("prediction").isin(0.0, 1.0), 1)
+        ).alias("_bad_preds"),
+    ).first()
+    imp = model.featureImportances.toArray()
+    return spark.createDataFrame(
+        [
+            (
+                auc >= 0.9,
+                row["_acc"] >= row["_maj"] - 1e-9,
+                bool(abs(float(imp.sum()) - 1.0) < 1e-6 and (imp >= 0).all()),
+                row["_bad_preds"] == 0,
+                model.numFeatures,
+            )
+        ],
+        "auc_ge_floor boolean, acc_beats_majority boolean, "
+        "importances_normalized boolean, preds_are_binary boolean, "
+        "n_features long",
+    )

@@ -1845,3 +1845,81 @@ def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
     )
+
+
+_MG_THETA = 0.001  # heavy-hitter threshold: freq > theta * N
+_MG_CAP = int(2 / _MG_THETA)  # per-partition counter budget (2/theta)
+
+
+@query(
+    "heavy_hitters_mg_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token, count(*)::BIGINT AS n_occurrences
+    FROM toks CROSS JOIN tot
+    GROUP BY token, tot.n
+    HAVING count(*) > {_MG_THETA} * any_value(tot.n)
+    ORDER BY n_occurrences DESC, token
+    """,
+)
+def heavy_hitters_mg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with frequency > θ·N, θ=0.1%) found
+    through a MISRA-GRIES CANDIDATE PASS — the streaming-sketch route to
+    an exact answer, and the scale path when the token vocabulary is too
+    large to shuffle whole (heavy_hitters_suppkey's exact groupBy keys
+    on a bounded domain; a 100 TB web corpus's token domain is not
+    bounded).
+
+    Pass 1 (mapInPandas, Arrow-batched): each PARTITION maintains a
+    Misra-Gries summary of 2/θ counters and emits only its surviving
+    candidate tokens — O(1/θ) rows per partition, independent of vocab
+    size. Pigeonhole gives the NO-FALSE-NEGATIVE guarantee: a token
+    with global freq > θN ≥ Σₚ nₚ/cap must beat the decrement budget in
+    at least one partition, so the union of summaries contains every
+    true heavy hitter. Pass 2: the candidate set (tiny) broadcasts back
+    as a semi-join onto the token stream and only candidate rows are
+    counted exactly — false positives die on the exact HAVING, which is
+    why the result is hash-identical to the brute-force oracle. The
+    full-vocab shuffle never happens; the two corpus scans move
+    O(candidates) rows."""
+    docs = _docs(spark, sf_dir)
+    toks = TX.explode_no_refilter(
+        docs.select(TX.tokens_col("text").alias("toks")), "toks", "token"
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_CAP:
+                    counters[tok] = 1
+                else:
+                    # decrement step: every counter pays one, zeros evict
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = (
+        toks.mapInPandas(mg_partition, schema="token string")
+        .distinct()
+    )
+    tot = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n_occurrences") > _MG_THETA * F.col("n"))
+        .select("token", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), "token")
+    )
