@@ -79,6 +79,10 @@ HEADLINE = [
     "fuzzy_match_levenshtein",           # blocked edit-distance entity resolution
     "corpus_curation_e2e",               # composed 5-stage curation funnel
     "zorder_bucket_profile",             # Morton-interleave layout arithmetic
+    "stats_gini_customer_revenue",       # distributed-rank concentration stat
+    "heavy_hitters_mg_tokens",           # Misra-Gries candidates + exact recount
+    "sim_maxsim_multivector",            # late-interaction MaxSim scoring
+    "event_session_window_builtin",      # native SessionWindow aggregate
 ]
 
 

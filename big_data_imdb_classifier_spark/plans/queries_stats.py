@@ -900,3 +900,113 @@ def stats_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_BOOT_B = 50  # bootstrap resamples
+# Poisson(1) inverse-CDF steps (cumulative), capped at 5: the weight a
+# row carries in one Poisson-bootstrap resample. Constants are shared
+# verbatim with the oracle so both engines draw identical weights from
+# identical md5-uniforms.
+_POIS_CDF = [0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015]
+
+
+def _pois_case_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+@query(
+    "stats_bootstrap_ci_mean",
+    oracle=f"""
+    WITH draws AS (
+      SELECT b.b,
+        o.o_totalprice AS v,
+        {_pois_case_sql(
+            "CAST(('0x' || substr(md5(b.b || ':' || o.o_orderkey), 1, 8)) "
+            "AS BIGINT) / 4294967296.0"
+        )} AS w
+      FROM orders o
+      CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) b
+    ),
+    means AS (
+      SELECT b, sum(w * v) / sum(w) AS m FROM draws GROUP BY b
+      HAVING sum(w) > 0
+    ),
+    base AS (SELECT avg(o_totalprice) AS mean_price FROM orders)
+    SELECT round(any_value(base.mean_price), {_R}) AS mean_price,
+           count(*)::BIGINT AS n_resamples,
+           round(quantile_cont(m, 0.025), {_R}) AS ci_lo,
+           round(quantile_cont(m, 0.975), {_R}) AS ci_hi,
+           round(quantile_cont(m, 0.025), {_R})
+             <= round(any_value(base.mean_price), {_R})
+           AND round(any_value(base.mean_price), {_R})
+             <= round(quantile_cont(m, 0.975), {_R}) AS ci_covers_mean
+    FROM means CROSS JOIN base
+    """,
+)
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean order value —
+    the distributed-resampling trick (Chamandy et al., 'Estimating
+    Uncertainty for Massive Data Streams', Google TR 2012): classical
+    bootstrap needs N draws-with-replacement per resample (a global
+    operation), but each row's multiplicity in resample b is ≈Poisson(1)
+    INDEPENDENTLY, so every row computes its own 50 weights from a hash
+    and the resample means fall out of one partial+final aggregate. No
+    RNG (md5-derived uniforms, engine-portable and reproducible at any
+    parallelism — the sample_by_hash convention), no shuffle of the
+    fact table, no global sort; the 50-row resample-mean frame reduces
+    to the percentile CI driver-side-free.
+
+    The CI quantiles use the builtin exact percentile ON 50 ROWS (the
+    buffering objection to F.percentile is about data-sized groups;
+    this group is B-sized by construction). A fixed-B row explode is
+    the one corpus-cost multiplier (×50 weight rows per order), all
+    map-side, absorbed by partial aggregation before any exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    b = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("b").cast("string"), F.col("o_orderkey")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(5)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[i], i).otherwise(w)
+    draws = o.crossJoin(F.broadcast(b)).select(
+        "b", F.col("o_totalprice").alias("v"), w.alias("w")
+    )
+    means = (
+        draws.groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("_sv"), F.sum("w").alias("_sw"))
+        .where(F.col("_sw") > 0)
+        .select((F.col("_sv") / F.col("_sw")).alias("m"))
+    )
+    base = o.agg(F.avg("o_totalprice").alias("mean_price"))
+    ci = means.agg(
+        F.count("*").alias("n_resamples"),
+        F.round(F.percentile("m", F.lit(0.025)), _R).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), _R).alias("ci_hi"),
+    )
+    return ci.crossJoin(F.broadcast(base)).select(
+        F.round("mean_price", _R).alias("mean_price"),
+        "n_resamples",
+        "ci_lo",
+        "ci_hi",
+        (
+            (F.col("ci_lo") <= F.round("mean_price", _R))
+            & (F.round("mean_price", _R) <= F.col("ci_hi"))
+        ).alias("ci_covers_mean"),
+    )

@@ -63,6 +63,14 @@ CROSS_WHITELIST = {
     "event_weekday_seasonality",    # single-row global-mean scalar broadcast
     "zorder_bucket_profile",        # single-row min/max-bounds scalar broadcast
     "basket_pair_lift",             # single-row user-total scalar broadcast
+    "stats_ks_two_sample",          # single-row (n1, n2) sample-size broadcast
+    "stats_chi_square_independence",  # marginal-grid crossJoins (R x C <= 15 rows)
+    "stats_benford_leading_digit",  # single-row corpus-total scalar broadcast
+    "event_cusum_changepoint",      # single-row baseline mu0/sigma0 broadcast
+    "text_entropy_kl_by_source",    # single-row grand-total scalar broadcast
+    "heavy_hitters_mg_tokens",      # single-row corpus-total scalar broadcast
+    "sim_maxsim_multivector",       # documented O(QxN) broadcast baseline, as
+    # knn_exact_cosine (5 query rows; scale path = ANN shortlist + re-rank)
 }
 
 

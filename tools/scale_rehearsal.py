@@ -76,6 +76,11 @@ EVENT_QUERIES = [
     "event_weekday_seasonality",
     "basket_pair_lift",
     "event_time_to_convert",
+    "event_cusum_changepoint",
+    "event_ewma_daily",
+    "event_path_trigrams",
+    "event_seasonal_decompose",
+    "event_session_window_builtin",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
@@ -107,6 +112,12 @@ RELATIONAL_QUERIES = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume_customers",
+    "stats_gini_customer_revenue",
+    "stats_ks_two_sample",
+    "stats_chi_square_independence",
+    "stats_benford_leading_digit",
+    "stats_bootstrap_ci_mean",
+    "join_runtime_bloom_pruned",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -143,6 +154,9 @@ TEXT_QUERIES = [
     "sample_mixture_temperature",
     "split_leakage_check",
     "corpus_curation_e2e",
+    "text_entropy_kl_by_source",
+    "heavy_hitters_mg_tokens",
+    "bpe_merge1_gate",
 ]
 
 
