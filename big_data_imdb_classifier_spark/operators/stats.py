@@ -42,7 +42,8 @@ def distributed_cumsum(
     keys: list[str],
     order_col: str,
     measures: list[str],
-) -> DataFrame:
+    with_totals: bool = False,
+):
     """Exact running sums of ``measures`` over ``order_col`` within each
     ``keys`` group (global when ``keys`` is empty) WITHOUT a
     single-partition window — the two-level prefix sum every global
@@ -61,7 +62,13 @@ def distributed_cumsum(
     aggregate ties first) — duplicate order keys would make the running
     sum partition-order dependent and nondeterministic.
 
-    Returns ``df``'s columns plus ``{m}_cum`` for each measure.
+    Returns ``df``'s columns plus ``{m}_cum`` for each measure. With
+    ``with_totals=True``, returns ``(result, totals)`` where totals is
+    one row per key carrying ``{m}_tot`` — derived from the CONSTANT-
+    SIZE per-partition offset frame, not from the data-sized result, so
+    consumers that need per-key grand totals don't re-derive the whole
+    cumsum lineage (a second full upstream recomputation when the plan
+    can't reuse the exchange).
     """
     spark = df.sparkSession
     dummy = not keys
@@ -107,7 +114,14 @@ def distributed_cumsum(
     )
     if dummy:
         d = d.drop("_dc_key")
-    return d
+    if not with_totals:
+        return d
+    totals = ptot.groupBy(*keys).agg(
+        *[F.sum(f"_pt_{m}").alias(f"{m}_tot") for m in measures]
+    )
+    if dummy:
+        totals = totals.drop("_dc_key")
+    return d, totals
 
 
 def group_quantiles(
@@ -145,13 +159,14 @@ def group_quantiles(
     # (keys, _v) is unique by construction — the distributed_cumsum
     # precondition holds. _c_cum is each distinct value's exact global
     # per-key rank upper bound; [_cum_prev, _cum) its rank interval.
-    vc = (
-        distributed_cumsum(vc, keys, "_v", ["_c"])
-        .withColumnRenamed("_c_cum", "_cum")
-        .withColumn("_cum_prev", F.col("_cum") - F.col("_c"))
+    # Totals come from the constant-size offset frame (with_totals), so
+    # the rank-probe side doesn't re-derive the data-sized cumsum plan.
+    vc, totals = distributed_cumsum(vc, keys, "_v", ["_c"], with_totals=True)
+    vc = vc.withColumnRenamed("_c_cum", "_cum").withColumn(
+        "_cum_prev", F.col("_cum") - F.col("_c")
     )
 
-    n_per_key = vc.groupBy(*keys).agg(F.sum("_c").alias("_n"))
+    n_per_key = totals.withColumnRenamed("_c_tot", "_n")
     idx = spark.createDataFrame(
         [(i, p) for i, p in enumerate(pcts)], "_i INT, _p DOUBLE"
     )

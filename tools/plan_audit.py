@@ -71,6 +71,8 @@ CROSS_WHITELIST = {
     "heavy_hitters_mg_tokens",      # single-row corpus-total scalar broadcast
     "sim_maxsim_multivector",       # documented O(QxN) broadcast baseline, as
     # knn_exact_cosine (5 query rows; scale path = ANN shortlist + re-rank)
+    "stats_bootstrap_ci_mean",      # constant-B (50-row) resample-index
+    # broadcast + 1-row baseline-mean broadcast — the Poisson-bootstrap fan-out
 }
 
 
