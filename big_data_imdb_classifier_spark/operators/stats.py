@@ -241,3 +241,86 @@ def _and_all(conds):
     for x in conds[1:]:
         c = c & x
     return c
+
+
+def rank_value_lookup(
+    markers: DataFrame,
+    probes: DataFrame,
+    pos_col: str = "pos",
+    val_col: str = "v",
+    out_col: str = "v_at",
+) -> DataFrame:
+    """For every probe row, the marker ``val_col`` with the LARGEST
+    marker position ≤ the probe's position — a distributed merge-asof
+    on an integer axis (here: rank space), the lookup primitive behind
+    piecewise-constant/linear interpolation against a distribution
+    (quantile transforms, CDF evaluation at arbitrary points).
+
+    A naive formulation is a range join (probe.pos BETWEEN prev AND
+    cum) — a BroadcastNestedLoopJoin once the marker side outgrows a
+    scalar, quadratic at 100 TB. This is instead the UNION + TWO-LEVEL
+    CARRY-FORWARD shape (the global sibling of operators.relational.
+    asof_join, which carries within key groups; rank space has no key,
+    so cross-partition carry uses the same constant-size offset-frame
+    trick as distributed_cumsum): range-partition both streams together
+    on (pos, tag) — markers sort before probes at equal positions, so
+    "≤" ties resolve to the marker — run last(ignorenulls) within each
+    partition, and stitch partitions with a per-partition last-marker
+    frame (one row per shuffle partition) whose own carry-forward
+    broadcasts back. One range shuffle of markers+probes, two
+    constant-size frames; no nested loop anywhere.
+
+    Markers must have distinct positions. Probes keep all their
+    columns; the looked-up value lands in ``out_col``.
+    """
+    spark = markers.sparkSession
+    vtype = dict(markers.dtypes)[val_col]
+    m = markers.select(
+        F.col(pos_col).alias("_pos"),
+        F.lit(0).alias("_tag"),
+        F.col(val_col).alias("_mv"),
+    )
+    p = (
+        probes.withColumnRenamed(pos_col, "_pos")
+        .withColumn("_tag", F.lit(1))
+        .withColumn("_mv", F.lit(None).cast(vtype))
+    )
+    u = m.unionByName(p, allowMissingColumns=True)
+    nparts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    d = u.repartitionByRange(nparts, "_pos", "_tag").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("_pos", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cf", F.last("_mv", ignorenulls=True).over(w_local))
+    # Last marker per partition (absent for marker-less partitions),
+    # carried forward over the tiny pid frame so probes landing before
+    # their partition's first marker read the previous partition's last.
+    plast = (
+        d.where(F.col("_tag") == 0)
+        .groupBy("_pid")
+        .agg(F.max_by("_mv", "_pos").alias("_pl"))
+    )
+    pids = d.select("_pid").distinct()
+    w_ofs = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ofs = (
+        pids.join(F.broadcast(plast), "_pid", "left")
+        .withColumn("_ofs", F.last("_pl", ignorenulls=True).over(w_ofs))
+        .select("_pid", "_ofs")
+    )
+    out = (
+        d.where(F.col("_tag") == 1)
+        .join(F.broadcast(ofs), "_pid")
+        .withColumn(out_col, F.coalesce("_cf", "_ofs"))
+        .drop("_pid", "_tag", "_mv", "_cf", "_ofs")
+        .withColumnRenamed("_pos", pos_col)
+    )
+    return out

@@ -683,3 +683,47 @@ def bpe_train_merges(
             eager=True
         )
     return merges
+
+
+def bpe_segment_col(text, merges: list[tuple[int, str, str, str, int]]):
+    """Apply learned BPE merge rules to every whitespace token of
+    ``text``, entirely as JVM higher-order expressions — the TOKENIZE
+    step that pairs with ``bpe_train_merges`` (train on the corpus once,
+    apply to every document forever after).
+
+    Returns an array<array<string>> column: per word, its BPE symbol
+    sequence after replaying the merge table in rank order. Each merge
+    is the same greedy left-to-right fold the trainer uses, chained as
+    ``n_merges`` nested F.aggregate passes over ≤word-length arrays —
+    constant expression depth per merge, zero Python in the row path.
+    Cost model: the fold rebuilds its accumulator array per step, so a
+    single word costs O(word_len²) copies per merge — fine because word
+    length is bounded (~tens of chars); corpus growth adds WORDS, and
+    the op is linear in word count.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    segs = F.transform(words, lambda w: F.split(w, ""))
+
+    def fold_merge(seg, l: str, r: str, merged: str):
+        return F.aggregate(
+            seg,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    def apply_one(l: str, r: str, merged: str):
+        # bind per-merge constants outside the lambda: PySpark higher-
+        # order lambdas must take exactly (x) or (x, i) parameters
+        return lambda s: fold_merge(s, l, r, merged)
+
+    for _, l, r, merged, _ in merges:
+        segs = F.transform(segs, apply_one(l, r, merged))
+    return segs

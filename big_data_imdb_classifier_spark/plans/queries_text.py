@@ -1923,3 +1923,180 @@ def heavy_hitters_mg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "n_occurrences")
         .orderBy(F.desc("n_occurrences"), "token")
     )
+
+
+@query(
+    "text_length_quantile_normalize",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, n_chars, count(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT source, n_chars, c,
+        sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                     ROWS UNBOUNDED PRECEDING) - c AS prev
+      FROM s
+    ),
+    ns AS (SELECT source, sum(c) AS nsrc FROM s GROUP BY 1),
+    p AS (
+      SELECT st.source, st.n_chars, st.c,
+             prev / greatest(nsrc - 1, 1) AS pr
+      FROM st JOIN ns ON ns.source = st.source
+    ),
+    g AS (
+      SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) AS r
+      FROM documents
+    ),
+    ng AS (SELECT count(*) AS n FROM documents),
+    i AS (
+      SELECT source, n_chars, c, pr,
+             pr * ((SELECT n FROM ng) - 1) AS h
+      FROM p
+    )
+    SELECT i.source, i.n_chars, i.c::BIGINT AS n_docs,
+           round(i.pr, 6) AS src_pct_rank,
+           round(glo.v + (i.h - floor(i.h)) * (ghi.v - glo.v),
+                 {ROUND_DIGITS}) AS norm_chars
+    FROM i
+    JOIN g glo ON glo.r = CAST(floor(i.h) AS BIGINT) + 1
+    JOIN g ghi ON ghi.r = CAST(ceil(i.h) AS BIGINT) + 1
+    ORDER BY i.source, i.n_chars
+    """,
+)
+def text_length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of document length across sources — map
+    each document's length to the GLOBAL length distribution's value at
+    the same within-source percentile, so every source presents the
+    corpus-wide length profile. The rank-transform a curation pipeline
+    applies before length-balancing mixtures (a source of tweets and a
+    source of books otherwise fight every length-aware filter); the
+    same machinery is a distributed QuantileTransformer /
+    CDF-evaluation at arbitrary points.
+
+    Three-stage distributed shape, no sort-to-one-reducer anywhere:
+    (1) within-source percent_rank from the keyed two-level prefix sum
+    over distinct (source, length) pairs (distributed_cumsum — rank_min
+    = prev+1, pr = prev/(Nₛ−1)); (2) each pair's fractional global rank
+    h = pr·(N−1) probes the global distinct-length rank intervals via
+    ``rank_value_lookup`` — the union + two-level carry-forward
+    merge-asof, NOT a range join (a BroadcastNestedLoopJoin once the
+    distribution outgrows a scalar); two probes per pair (floor/ceil of
+    h) make the type-7 interpolation exact; (3) reassemble lo/hi with
+    one aggregate. The oracle is an independent restatement over
+    row_number ranks (tie order immaterial — tied ranks share the
+    value). All rank arithmetic is integer-derived, so h/frac are
+    bit-identical cross-engine."""
+    from ..operators.stats import distributed_cumsum, rank_value_lookup
+
+    docs = _docs(spark, sf_dir)
+    s = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    sc, stot = distributed_cumsum(
+        s, ["source"], "n_chars", ["c"], with_totals=True
+    )
+    pr = (F.col("c_cum") - F.col("c")) / F.greatest(
+        F.col("c_tot") - 1, F.lit(1)
+    )
+    g = docs.groupBy("n_chars").agg(F.count("*").alias("gc"))
+    gcum, gtot = distributed_cumsum(g, [], "n_chars", ["gc"], with_totals=True)
+    markers = gcum.select(
+        (F.col("gc_cum") - F.col("gc")).alias("pos"),
+        F.col("n_chars").cast("double").alias("v"),
+    )
+    probes = (
+        sc.join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "n_chars",
+            "c",
+            pr.alias("pr"),
+            (pr * (F.col("gc_tot") - 1)).alias("h"),
+        )
+        .select(
+            "source",
+            "n_chars",
+            "c",
+            "pr",
+            (F.col("h") - F.floor("h")).alias("frac"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.floor("h").cast("long").alias("pos"),
+                        F.lit("lo").alias("side"),
+                    ),
+                    F.struct(
+                        F.ceil("h").cast("long").alias("pos"),
+                        F.lit("hi").alias("side"),
+                    ),
+                )
+            ).alias("_s"),
+        )
+        .select(
+            "source", "n_chars", "c", "pr", "frac",
+            F.col("_s.pos").alias("pos"), F.col("_s.side").alias("side"),
+        )
+    )
+    hit = rank_value_lookup(markers, probes, pos_col="pos", val_col="v")
+    return (
+        hit.groupBy("source", "n_chars", "c", "pr", "frac")
+        .agg(
+            F.max(F.when(F.col("side") == "lo", F.col("v_at"))).alias("_vlo"),
+            F.max(F.when(F.col("side") == "hi", F.col("v_at"))).alias("_vhi"),
+        )
+        .select(
+            "source",
+            "n_chars",
+            F.col("c").alias("n_docs"),
+            F.round("pr", 6).alias("src_pct_rank"),
+            F.round(
+                F.col("_vlo") + F.col("frac") * (F.col("_vhi") - F.col("_vlo")),
+                ROUND_DIGITS,
+            ).alias("norm_chars"),
+        )
+        .orderBy("source", "n_chars")
+    )
+
+
+@query("bpe_apply_compression")  # rows-only: consumes the iterative
+# trainer's merge table (bpe_train_merges); pinned by the pure-Python
+# round-trip reference in tests/test_text.py + the trainer's own gates
+def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 10 learned BPE merges to the whole corpus and report
+    per-source tokenizer compression: character-symbols before vs BPE
+    symbols after — the fertility/compression audit run after training
+    a tokenizer (see operators.text.bpe_segment_col; zero Python in the
+    row path, the merge table is 10 driver-side literals)."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        TX.explode_no_refilter(
+            docs.select(TX.tokens_col("text").alias("toks")), "toks", "w"
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = TX.bpe_train_merges(
+        vocab, _BPE_MERGES, word_col="w", count_col="n"
+    )
+    segs = TX.bpe_segment_col(F.col("text"), merges)
+    n_sym = F.aggregate(
+        segs, F.lit(0), lambda acc, s: acc + F.size(s)
+    )
+    n_chr = F.aggregate(
+        segs,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.aggregate(s, F.lit(0), lambda a, t: a + F.length(t)),
+    )
+    return (
+        docs.select("source", n_sym.alias("n_sym"), n_chr.alias("n_chr"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_chr").alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_symbols"),
+            F.round(
+                F.sum("n_chr") / F.sum("n_sym"), ROUND_DIGITS
+            ).alias("chars_per_symbol"),
+        )
+        .orderBy("source")
+    )

@@ -238,3 +238,27 @@ def test_distributed_cumsum_matches_window(spark):
         acc += (i * 7 + ord("a")) % 13 - 6
         want_g[i] = acc
     assert got_g == want_g
+
+
+def test_rank_value_lookup_matches_linear_scan(spark):
+    """rank_value_lookup == 'largest marker pos <= probe pos' by brute
+    force, including probes before any in-partition marker (offset-frame
+    carry), equal-position ties (marker wins), and sparse markers."""
+    from big_data_imdb_classifier_spark.operators.stats import (
+        rank_value_lookup,
+    )
+
+    marker_rows = [(p, float(p * 10)) for p in [0, 3, 4, 9, 17, 40, 41, 99]]
+    probe_rows = [(i, (i * 13) % 120) for i in range(80)]
+    markers = spark.createDataFrame(marker_rows, "pos LONG, v DOUBLE")
+    probes = spark.createDataFrame(probe_rows, "pid LONG, pos LONG")
+
+    got = {
+        r["pid"]: r["v_at"]
+        for r in rank_value_lookup(markers, probes).collect()
+    }
+    want = {}
+    for pid, pos in probe_rows:
+        best = [mv for mp, mv in marker_rows if mp <= pos]
+        want[pid] = best[-1] if best else None
+    assert got == want

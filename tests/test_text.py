@@ -438,3 +438,52 @@ def test_bpe_matches_pure_python_reference(spark):
     got = bpe_train_merges(vocab, 6, word_col="w", count_col="n")
     want = ref(word_counts, 6)
     assert got == want
+
+
+def test_bpe_segment_col_round_trips_reference(spark):
+    """Applying the learned merges with bpe_segment_col must reproduce
+    the reference segmentations exactly (same greedy fold as training),
+    and concatenating each word's symbols must recover the word."""
+    import re
+
+    from big_data_imdb_classifier_spark.operators.text import (
+        bpe_segment_col,
+        bpe_train_merges,
+    )
+
+    texts = [
+        "lower lowest newest widest new wide low",
+        "low low low lower lower newest",
+        "the newest widest lowest low",
+    ]
+    word_counts: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            word_counts[w] = word_counts.get(w, 0) + 1
+    vocab = spark.createDataFrame(
+        list(word_counts.items()), "w STRING, n LONG"
+    )
+    merges = bpe_train_merges(vocab, 5, word_col="w", count_col="n")
+
+    def ref_apply(word, merges):
+        s = list(word)
+        for _, l, r, m, _ in merges:
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            s = out
+        return s
+
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = df.select(
+        "text", bpe_segment_col(F.col("text"), merges).alias("segs")
+    ).collect()
+    for row in got:
+        words = re.split(r"\s+", row["text"].strip())
+        assert len(row["segs"]) == len(words)
+        for w, seg in zip(words, row["segs"]):
+            assert seg == ref_apply(w, merges), (w, seg)
+            assert "".join(seg) == w

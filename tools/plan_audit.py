@@ -73,6 +73,8 @@ CROSS_WHITELIST = {
     # knn_exact_cosine (5 query rows; scale path = ANN shortlist + re-rank)
     "stats_bootstrap_ci_mean",      # constant-B (50-row) resample-index
     # broadcast + 1-row baseline-mean broadcast — the Poisson-bootstrap fan-out
+    "text_length_quantile_normalize",  # single-row global-total (N) broadcast
+    # feeding h = pr*(N-1); the rank lookup itself is hash-join + window
 }
 
 
