@@ -2026,3 +2026,86 @@ def event_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+_MKV_MIDR = 8  # intermediate rounding (the pagerank _MID_R pattern)
+
+
+@query(
+    "event_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS cur,
+        lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tm AS (
+      SELECT cur, nxt, count(*)::DOUBLE AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot AS (SELECT cur, sum(n) AS tot FROM tm GROUP BY 1),
+    p AS (
+      SELECT tm.cur, tm.nxt, tm.n / rowtot.tot AS p
+      FROM tm JOIN rowtot ON rowtot.cur = tm.cur
+    ),
+    k AS (SELECT count(*) AS k FROM rowtot),
+    pi0 AS (SELECT cur AS state, 1.0 / k.k AS pi FROM rowtot, k),
+    pi1 AS (
+      SELECT p.nxt AS state, round(sum(pi0.pi * p.p), {_MKV_MIDR}) AS pi
+      FROM p JOIN pi0 ON pi0.state = p.cur GROUP BY 1
+    ),
+    pi2 AS (
+      SELECT p.nxt AS state, round(sum(pi1.pi * p.p), {_MKV_MIDR}) AS pi
+      FROM p JOIN pi1 ON pi1.state = p.cur GROUP BY 1
+    ),
+    pi3 AS (
+      SELECT p.nxt AS state, round(sum(pi2.pi * p.p), {_MKV_MIDR}) AS pi
+      FROM p JOIN pi2 ON pi2.state = p.cur GROUP BY 1
+    )
+    SELECT state AS event_type, round(pi, {ROUND_DIGITS}) AS stationary_p
+    FROM pi3 ORDER BY event_type
+    """,
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain — three
+    unrolled power-iteration steps πₜ₊₁ = πₜP from uniform, over the
+    row-normalized transition matrix of event_transition_matrix. The
+    long-run behavior summary ("where do user journeys spend time")
+    that complements the one-step matrix; the same join+reaggregate
+    shape as graph_copurchase_pagerank, but on a |event_types|² frame —
+    after the ONE corpus-sized lead-window pass, every iteration is
+    arithmetic over ≤25 rows. Intermediate 1e-8 rounding pins FP
+    accumulation order cross-engine; three steps keep it
+    oracle-checkable (the convergence loop is operators.graph.
+    pagerank_until's job)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tm = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    rowtot = tm.groupBy("cur").agg(F.sum("n").alias("tot"))
+    p = tm.join(F.broadcast(rowtot), "cur").select(
+        "cur", "nxt", (F.col("n") / F.col("tot")).alias("p")
+    ).persist()
+    k = rowtot.agg(F.count("*").alias("k"))
+    pi = rowtot.crossJoin(F.broadcast(k)).select(
+        F.col("cur").alias("state"), (1.0 / F.col("k")).alias("pi")
+    )
+    for _ in range(3):
+        pi = (
+            p.join(F.broadcast(pi), p.cur == pi.state)
+            .groupBy(F.col("nxt").alias("_next"))
+            .agg(F.round(F.sum(F.col("pi") * F.col("p")), _MKV_MIDR).alias("pi"))
+            .select(F.col("_next").alias("state"), "pi")
+        )
+    return pi.select(
+        F.col("state").alias("event_type"),
+        F.round("pi", ROUND_DIGITS).alias("stationary_p"),
+    ).orderBy("event_type")

@@ -1419,3 +1419,36 @@ def sql_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, t.rk
         """
     )
+
+
+@query(
+    "sql_group_by_all_revenue",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def sql_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the analyst-ergonomics SQL form (group on
+    every non-aggregate select item) that originated in DuckDB and
+    landed in Spark 3.4+: the engine must infer the grouping key from
+    the projection. Both engines run the SAME text here, so the pin
+    covers inference parity, not just result parity. Plans identically
+    to the explicit GROUP BY — one partial+final hash aggregate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM v_orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    )

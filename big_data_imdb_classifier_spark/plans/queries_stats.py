@@ -698,15 +698,23 @@ _KS_C95 = 1.358  # Kolmogorov critical coefficient at alpha = 0.05
              sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2c
       FROM f
     ),
-    t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM f)
+    t AS (
+      -- greatest(n, 1) guard, mirrored in the engine: an empty arm
+      -- would otherwise divide by zero, where Spark's Infinity and
+      -- DuckDB's inf render/hash differently (latent: both arms exist
+      -- at every testdata SF)
+      SELECT sum(c1) AS n1, sum(c2) AS n2,
+             greatest(sum(c1), 1) AS d1, greatest(sum(c2), 1) AS d2
+      FROM f
+    )
     SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
-           round(max(abs(c1c / n1 - c2c / n2)), {_R}) AS ks_d,
-           round({_KS_C95} * sqrt((n1 + n2) / (1.0 * n1 * n2)), {_R})
+           round(max(abs(c1c / d1 - c2c / d2)), {_R}) AS ks_d,
+           round({_KS_C95} * sqrt((d1 + d2) / (1.0 * d1 * d2)), {_R})
              AS crit_95,
-           round(max(abs(c1c / n1 - c2c / n2)), {_R})
-             > round({_KS_C95} * sqrt((n1 + n2) / (1.0 * n1 * n2)), {_R})
+           round(max(abs(c1c / d1 - c2c / d2)), {_R})
+             > round({_KS_C95} * sqrt((d1 + d2) / (1.0 * d1 * d2)), {_R})
              AS reject_95
-    FROM c, t GROUP BY n1, n2
+    FROM c, t GROUP BY n1, n2, d1, d2
     """,
 )
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,19 +743,24 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = distributed_cumsum(vc, [], "v", ["c1", "c2"])
     tot = vc.agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.greatest(F.sum("c1"), F.lit(1)).alias("d1"),
+        F.greatest(F.sum("c2"), F.lit(1)).alias("d2"),
     )
+    # d1/d2 denominators (mirrored in the oracle): an empty arm must
+    # not divide by zero — inf/NULL render differently cross-engine.
     d = F.abs(
-        F.col("c1_cum") / F.col("n1") - F.col("c2_cum") / F.col("n2")
+        F.col("c1_cum") / F.col("d1") - F.col("c2_cum") / F.col("d2")
     )
     crit = F.round(
         _KS_C95
-        * F.sqrt((F.col("n1") + F.col("n2")) / (1.0 * F.col("n1") * F.col("n2"))),
+        * F.sqrt((F.col("d1") + F.col("d2")) / (1.0 * F.col("d1") * F.col("d2"))),
         _R,
     )
     return (
         cum.crossJoin(F.broadcast(tot))
-        .groupBy("n1", "n2")
+        .groupBy("n1", "n2", "d1", "d2")
         .agg(F.round(F.max(d), _R).alias("ks_d"))
         .select(
             "n1",

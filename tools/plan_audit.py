@@ -75,6 +75,8 @@ CROSS_WHITELIST = {
     # broadcast + 1-row baseline-mean broadcast — the Poisson-bootstrap fan-out
     "text_length_quantile_normalize",  # single-row global-total (N) broadcast
     # feeding h = pr*(N-1); the rank lookup itself is hash-join + window
+    "event_markov_stationary",      # single-row state-count (k) broadcast
+    # seeding the uniform pi0; each iteration is a hash join on <=25 rows
 }
 
 
