@@ -2109,3 +2109,100 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("event_type"),
         F.round("pi", ROUND_DIGITS).alias("stationary_p"),
     ).orderBy("event_type")
+
+
+_TT_MIDR = 6  # intermediate rounding for means/variances (FP pinning)
+_TT_CRIT = 1.96  # two-sided 95%, normal approximation (dof >> 30 here)
+
+
+@query(
+    "event_welch_ttest_value",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+        CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 8)) AS BIGINT) % 2
+          AS arm,
+        sum(value) AS v
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n,
+             round(avg(v), {_TT_MIDR}) AS m,
+             round(var_samp(v), {_TT_MIDR}) AS s2
+      FROM per_user GROUP BY arm
+    ),
+    w AS (
+      SELECT a.n AS n0, a.m AS m0, a.s2 AS s20,
+             b.n AS n1, b.m AS m1, b.s2 AS s21
+      FROM arms a JOIN arms b ON a.arm = 0 AND b.arm = 1
+    )
+    SELECT n0::BIGINT AS n_a, n1::BIGINT AS n_b,
+           round(m0, {ROUND_DIGITS}) AS mean_a,
+           round(m1, {ROUND_DIGITS}) AS mean_b,
+           round((m0 - m1) / sqrt(s20 / n0 + s21 / n1), {ROUND_DIGITS})
+             AS t_stat,
+           round(pow(s20 / n0 + s21 / n1, 2)
+                 / (pow(s20 / n0, 2) / (n0 - 1)
+                    + pow(s21 / n1, 2) / (n1 - 1)), 1) AS welch_dof,
+           abs(round((m0 - m1) / sqrt(s20 / n0 + s21 / n1),
+                     {ROUND_DIGITS})) > {_TT_CRIT} AS reject_95
+    FROM w
+    """,
+)
+def event_welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t-TEST on per-user total event value
+    between the two deterministic md5 experiment arms — the
+    continuous-metric companion to event_ab_test's proportion z-test
+    (revenue-per-user is the metric most A/B decisions actually ride
+    on), with the Welch–Satterthwaite effective dof reported and the
+    normal-approximation 95% verdict (dof ≈ thousands here, where
+    t and z are indistinguishable).
+
+    One user-keyed reduce (the only corpus-sized shuffle), a 2-row
+    conditional aggregate, then scalar arithmetic on a self-joined
+    2-row frame. Means/variances round at 1e-6 before the t arithmetic
+    so Welford-vs-two-pass variance ulps cannot flip the verdict
+    cross-engine (the CUSUM baseline pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    per_user = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("v"))
+        .withColumn("arm", arm)
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), _TT_MIDR).alias("m"),
+        F.round(F.var_samp("v"), _TT_MIDR).alias("s2"),
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("s2").alias("s20")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("s2").alias("s21")
+    )
+    se2 = F.col("s20") / F.col("n0") + F.col("s21") / F.col("n1")
+    t = F.round((F.col("m0") - F.col("m1")) / F.sqrt(se2), ROUND_DIGITS)
+    dof = F.round(
+        F.pow(se2, 2)
+        / (
+            F.pow(F.col("s20") / F.col("n0"), 2) / (F.col("n0") - 1)
+            + F.pow(F.col("s21") / F.col("n1"), 2) / (F.col("n1") - 1)
+        ),
+        1,
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n0").alias("n_a"),
+        F.col("n1").alias("n_b"),
+        F.round("m0", ROUND_DIGITS).alias("mean_a"),
+        F.round("m1", ROUND_DIGITS).alias("mean_b"),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
+        (F.abs(t) > _TT_CRIT).alias("reject_95"),
+    )

@@ -77,6 +77,7 @@ CROSS_WHITELIST = {
     # feeding h = pr*(N-1); the rank lookup itself is hash-join + window
     "event_markov_stationary",      # single-row state-count (k) broadcast
     # seeding the uniform pi0; each iteration is a hash join on <=25 rows
+    "event_welch_ttest_value",      # 1-row x 1-row arm-stats crossJoin
 }
 
 

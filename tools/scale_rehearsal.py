@@ -85,6 +85,7 @@ EVENT_QUERIES = [
     # matrix (and the stationary pi) is invariant — the rehearsal still
     # measures the corpus-sized lead-window pass, which is the cost
     "event_markov_stationary",
+    "event_welch_ttest_value",
 ]
 
 # Relational queries over lineitem/orders + dims. Excluded by design:
