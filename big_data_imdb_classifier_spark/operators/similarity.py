@@ -83,6 +83,16 @@ def knn_exact_cosine(
     )
 
 
+def lsh_planes(
+    dim: int = 64, bits: int = 4, tables: int = 24, seed: int = 42
+) -> np.ndarray:
+    """The seeded hyperplane matrix (tables*bits, dim) — a plan LITERAL,
+    shared by the bucketing pandas_udf and the DuckDB oracle (which
+    embeds the same doubles as SQL literals, so both engines bucket with
+    bit-identical planes)."""
+    return np.random.RandomState(seed).normal(size=(tables * bits, dim))
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -103,8 +113,7 @@ def hyperplane_lsh_buckets(
     this is the case where the built-ins genuinely can't express the op
     efficiently and the Arrow path is the idiomatic choice.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(tables * bits, dim))  # (P, dim)
+    planes = lsh_planes(dim, bits, tables, seed)  # (P, dim)
     weights = (2 ** np.arange(bits, dtype=np.int64))  # bit-pack per table
 
     @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -1967,7 +1967,7 @@ def event_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_session_window_builtin",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id)
                   >= INTERVAL '30 minutes'
@@ -1978,7 +1978,7 @@ def event_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )
@@ -2089,11 +2089,18 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nxt").isNotNull())
         .groupBy("cur", "nxt")
         .agg(F.count("*").cast("double").alias("n"))
+        # Eager localCheckpoint, not persist(): the ≤25-row transition
+        # count matrix is materialized ONCE (the single corpus
+        # lead-window pass) and its lineage severed, so rowtot / p / the
+        # 3 unrolled iterations are all ≤25-row arithmetic on top of it
+        # — and no cached blocks leak for the rest of the session (the
+        # previous persist() had no matching unpersist — round-4 ADVICE).
+        .localCheckpoint(eager=True)
     )
     rowtot = tm.groupBy("cur").agg(F.sum("n").alias("tot"))
     p = tm.join(F.broadcast(rowtot), "cur").select(
         "cur", "nxt", (F.col("n") / F.col("tot")).alias("p")
-    ).persist()
+    )
     k = rowtot.agg(F.count("*").alias("k"))
     pi = rowtot.crossJoin(F.broadcast(k)).select(
         F.col("cur").alias("state"), (1.0 / F.col("k")).alias("pi")

@@ -2,9 +2,12 @@
 
 Exact cosine top-k carries a full DuckDB oracle (list_dot_product on
 DOUBLE[] matches the engine's sequential double accumulation to far
-below rounding tolerance); the hyperplane-LSH ANN variant is rows-only
-and quality-gated by a recall@k pytest against the exact result
-(tests/test_similarity.py).
+below rounding tolerance). The hyperplane-LSH ANN variant is ALSO fully
+hash-matched — its hyperplanes are seeded plan literals, so the oracle
+replays the whole index in SQL (see _lsh_oracle). Only the two
+KMeans-based indexes (IVF, IVF-PQ) are rows-only (JVM RNG in the coarse
+quantizer is not SQL-replayable); both are quality-gated by recall@k in
+pytest and by the hash-matched knn_ann_recall_gate.
 """
 
 from __future__ import annotations
@@ -117,11 +120,70 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ann_hyperplane_lsh")  # rows-only: recall-gated in pytest
+def _lsh_oracle(
+    dim: int = 64, bits: int = 4, tables: int = 24, seed: int = 42
+) -> str:
+    """Full DuckDB oracle for the hyperplane-LSH ANN search.
+
+    The hyperplanes are seeded plan literals (SIM.lsh_planes), so the
+    whole approximate pipeline is deterministic and SQL-expressible: the
+    same doubles are embedded as SQL literals (repr() round-trips float64
+    exactly), each vector's per-table bucket is the bit-packed sign
+    pattern of 4 literal-plane dot products, candidates come from the
+    bucket equi-join, and exact cosine + (sim DESC, neighbor) ranking
+    mirror knn_exact_cosine's already-hash-matched arithmetic. The only
+    cross-engine risk is a projection dot sitting within accumulation
+    error of 0 flipping a sign bit — probability ~1e-8 over this corpus.
+    """
+    planes = SIM.lsh_planes(dim, bits, tables, seed)
+    plane_rows = ",\n      ".join(
+        f"({pid}, [{', '.join(repr(x) for x in planes[pid])}])"
+        for pid in range(tables * bits)
+    )
+    return f"""
+    WITH planes(pid, p) AS (VALUES
+      {plane_rows}),
+    e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    vb AS MATERIALIZED (
+      SELECT vec_id, pid // {bits} AS tbl,
+             sum(CASE WHEN list_dot_product(v, p) > 0
+                 THEN (1 << (pid % {bits}))::BIGINT ELSE 0 END) AS bucket
+      FROM e CROSS JOIN planes GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id
+      FROM (SELECT * FROM vb WHERE vec_id < {N_QUERY_VECS}) qb
+      JOIN vb ON qb.tbl = vb.tbl AND qb.bucket = vb.bucket
+      WHERE qb.vec_id != vb.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+        list_dot_product(qv.v, cv.v)
+          / (sqrt(list_dot_product(qv.v, qv.v))
+             * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+      FROM cand JOIN e qv ON qv.vec_id = cand.query_id
+                JOIN e cv ON cv.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, {ROUND_DIGITS}) AS sim
+    FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+@query("knn_ann_hyperplane_lsh", oracle=_lsh_oracle())
 def knn_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH (24 tables × 4
     bits): bucket join → exact cosine on candidates only. Recall@10 vs
-    the exact baseline is asserted in tests/test_similarity.py."""
+    the exact baseline is asserted in tests/test_similarity.py; the
+    result set itself is hash-matched against a full DuckDB replay of
+    the index (the hyperplanes are seeded plan literals — see
+    _lsh_oracle), so this ANN query is no longer rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     out = SIM.knn_ann_hyperplane(emb, queries, k=TOP_K)

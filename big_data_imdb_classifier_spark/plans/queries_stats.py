@@ -514,15 +514,24 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both medians run through the DISTRIBUTED order-statistics operator
     (``operators.stats.group_quantiles``) — the builtin ``F.percentile``
     aggregate would buffer a third of the fact table per flag on one
-    reducer (see stats_percentiles_by_flag)."""
+    reducer (see stats_percentiles_by_flag).
+
+    The per-pass 3-row statistic frames are EAGERLY localCheckpointed:
+    ``med`` feeds three downstream consumers (the deviation projection,
+    the mad join, the final cut) and ``mad`` two — without
+    materialization each consumer re-executes the full quantile lineage
+    (the whole pass-A shuffle ran 3× inside pass B's plan; measured
+    ~2× end-to-end), with it each fact-table pass runs exactly once."""
     from ..operators.stats import group_quantiles
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     x = F.col("l_extendedprice")
-    med = group_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.5]).select(
-        "l_returnflag", F.col("q")[0].alias("med")
+    med = (
+        group_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.5])
+        .select("l_returnflag", F.col("q")[0].alias("med"))
+        .localCheckpoint(eager=True)
     )
     devs = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag", "med", F.abs(x - F.col("med")).alias("_dev")
@@ -531,6 +540,7 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_quantiles(devs, ["l_returnflag"], "_dev", [0.5])
         .select("l_returnflag", F.col("q")[0].alias("mad"))
         .join(F.broadcast(med), "l_returnflag")
+        .localCheckpoint(eager=True)
     )
     is_out = F.abs(x - F.col("med")) > _MAD_CUT * _MAD_K * F.col("mad")
     return (
@@ -976,38 +986,42 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The CI quantiles use the builtin exact percentile ON 50 ROWS (the
     buffering objection to F.percentile is about data-sized groups;
-    this group is B-sized by construction). The B× weight fan-out is
-    the one corpus-cost multiplier, all map-side, absorbed by partial
-    aggregation before any exchange — and the hash bill is ⌈B/4⌉, not
-    B, per row: one md5 yields 128 bits = four independent 32-bit
+    this group is B-sized by construction). The hash bill is ⌈B/4⌉,
+    not B, per row: one md5 yields 128 bits = four independent 32-bit
     uniform lanes, carved by substring (measured 12.0 → 6.8 s at
-    sf0.1; the residual is the B× weight fan-out through the partial
-    aggregate, map-side and embarrassingly parallel). The oracle
-    carves the identical lanes, so the weights stay bit-equal."""
-    o = load_table(spark, sf_dir, "orders")
+    sf0.1). Round-5 rewrite of the weight derivation (6.8 → ~1 s):
+
+    - PLAIN COLUMN EXPRESSIONS, no higher-order-function lambdas — the
+      old per-element transform/flatten/slice chain ran interpreted
+      outside whole-stage codegen and dominated the cost. B is a
+      compile-time constant, so the 50 weight columns unroll
+      statically: one projection binds the ⌈B/4⌉-digest hex string,
+      the next binds the 50 uniforms as ATTRIBUTES (each conv runs
+      once — a CASE over an inline conv would re-evaluate it per
+      branch), the third folds them to Poisson weights.
+    - Stage shape stays posexplode → groupBy(b): 2·B scalar aggregates
+      in a single-group HashAggregate was tried and is WORSE — 101
+      aggregate buffers trips spark.sql.codegen.maxFields (=100) and
+      the whole stage falls back to interpreted mode (measured 22 s).
+      The B×N fan-out rows never leave the map side (partial
+      aggregation into B groups).
+    - CPU REPARTITION: the sf0.1 orders file is one 2.6 MB split, so
+      Spark plans ONE task and 31 cores idle under ~10⁷ md5/conv
+      calls. Fan the scan out to defaultParallelism first (the
+      documents-table convention, operators/text.repartition_for_cpu)
+      — compute-bound per-row work scales with cores, not bytes. At
+      100 TB the scan is already wide and AQE coalesces nothing here.
+
+    The oracle carves the identical lanes, so the weights stay
+    bit-equal."""
+    from ..operators.text import repartition_for_cpu
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if o.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        o = repartition_for_cpu(o, "o_orderkey")
     n_hashes = (_BOOT_B + 3) // 4
-    # Per row: ⌈B/4⌉ md5 digests, flattened into 4·⌈B/4⌉ uniform lanes;
-    # lane b (1-based) = hex window (b-1)%4 of digest (b-1)//4.
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.lit(n_hashes)),
-        lambda g: F.md5(
-            F.concat_ws(":", g.cast("string"), F.col("o_orderkey"))
-        ),
-    )
-    lanes = F.flatten(
-        F.transform(
-            hashes,
-            lambda h: F.array(
-                *[
-                    F.conv(F.substring(h, 1 + 8 * lane, 8), 16, 10).cast(
-                        "long"
-                    )
-                    / F.lit(4294967296.0)
-                    for lane in range(4)
-                ]
-            ),
-        )
-    )
 
     def pois(u):
         w = F.lit(5)
@@ -1015,16 +1029,45 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = F.when(u < _POIS_CDF[i], i).otherwise(w)
         return w
 
-    ws = F.transform(
-        F.slice(lanes, 1, _BOOT_B), lambda u: pois(u)
+    # Per row: ⌈B/4⌉ md5 digests concatenated into one flat hex string;
+    # lane b (1-based) = hex window (b-1)%4 of digest (b-1)//4, i.e.
+    # characters [32·((b-1)//4) + 8·((b-1)%4) + 1, +8).
+    hexes = F.concat(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(g)), F.col("o_orderkey").cast("string")
+                )
+            )
+            for g in range(1, n_hashes + 1)
+        ]
     )
-    draws = o.select(
-        F.col("o_totalprice").alias("v"),
-        F.posexplode(ws).alias("b0", "w"),
-    ).select((F.col("b0") + 1).alias("b"), "v", "w")
+    u_cols = [
+        (
+            F.conv(
+                F.substring(
+                    "_h", 32 * ((b - 1) // 4) + 8 * ((b - 1) % 4) + 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias(f"_u{b}")
+        for b in range(1, _BOOT_B + 1)
+    ]
+    ws = F.array(*[pois(F.col(f"_u{b}")) for b in range(1, _BOOT_B + 1)])
+    draws = (
+        o.select(F.col("o_totalprice").alias("v"), hexes.alias("_h"))
+        .select("v", *u_cols)
+        .select("v", F.posexplode(ws).alias("b0", "w"))
+        .select((F.col("b0") + 1).alias("b"), "v", "w")
+    )
     means = (
         draws.groupBy("b")
-        .agg(F.sum(F.col("w") * F.col("v")).alias("_sv"), F.sum("w").alias("_sw"))
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("_sv"),
+            F.sum("w").alias("_sw"),
+        )
         .where(F.col("_sw") > 0)
         .select((F.col("_sv") / F.col("_sw")).alias("m"))
     )

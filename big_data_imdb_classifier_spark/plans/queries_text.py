@@ -1783,6 +1783,100 @@ def text_entropy_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_MERGES = 10
 
+# --- Unrolled BPE DuckDB oracle -------------------------------------------
+# Greedy left-to-right non-overlapping BPE merge application is EXACTLY
+# non-overlapping string `replace` over a delimiter-wrapped symbol string:
+# each symbol is wrapped as chr(30)||sym||chr(31) (both control chars are
+# absent from the corpus — asserted in tests/test_text.py), so the pair
+# (l, r) occurs only at true unit boundaries and replace() consumes
+# matches left-to-right without rescanning its own output — the same
+# semantics as the engine's F.aggregate fold (operators/text.py:669) and
+# Sennrich's reference rewrite. That turns the "iterative, not
+# SQL-expressible" trainer into a FIXED-DEPTH unrolled CTE chain: round k
+# derives pair counts from seg_{k-1}, takes the deterministic argmax
+# (count DESC, lhs, rhs), and rewrites via one replace. MATERIALIZED is
+# load-bearing: each seg CTE is referenced twice, and without it DuckDB
+# inlines the chain into a 2^k expression tree (measured 94 s → 0.2 s).
+_BPE_O, _BPE_C = "chr(30)", "chr(31)"  # symbol open/close delimiters
+_BPE_SEP = f"{_BPE_C} || {_BPE_O}"
+
+
+def _bpe_round_cte(k: int) -> str:
+    """One unrolled BPE training round (pair stats -> argmax -> rewrite)."""
+    return f"""
+    syms{k} AS MATERIALIZED (
+      SELECT w, c,
+             string_split(substr(seg_str, 2, length(seg_str) - 2),
+                          {_BPE_SEP}) AS s
+      FROM seg{k - 1}
+    ),
+    pairs{k} AS (
+      SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(c)::BIGINT AS pair_count
+      FROM syms{k}, unnest(generate_series(1, len(s) - 1)) AS t{k}(i)
+      WHERE len(s) >= 2 GROUP BY 1, 2
+    ),
+    best{k} AS (
+      SELECT {k} AS rank, lhs, rhs, lhs || rhs AS merged, pair_count
+      FROM pairs{k} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    ),
+    seg{k} AS MATERIALIZED (
+      SELECT w, c,
+             replace(seg_str,
+                     {_BPE_O} || b.lhs || {_BPE_C} || {_BPE_O} || b.rhs || {_BPE_C},
+                     {_BPE_O} || b.lhs || b.rhs || {_BPE_C}) AS seg_str
+      FROM seg{k - 1}, best{k} b
+    )"""
+
+
+def _bpe_train_chain(n: int, vocab_cte: str) -> str:
+    """The shared vocab -> seg0 -> n unrolled rounds CTE prefix."""
+    rounds = ",".join(_bpe_round_cte(k) for k in range(1, n + 1))
+    return f"""{vocab_cte},
+    seg0 AS MATERIALIZED (
+      SELECT w, c,
+             {_BPE_O} || array_to_string(string_split(w, ''), {_BPE_SEP})
+                      || {_BPE_C} AS seg_str
+      FROM vocab
+    ),{rounds}"""
+
+
+_BPE_VOCAB_CTE = f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    vocab AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1)"""
+
+
+def _bpe_train_oracle(n: int) -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT rank, lhs, rhs, merged, pair_count FROM best{k}"
+        for k in range(1, n + 1)
+    )
+    return f"""{_bpe_train_chain(n, _BPE_VOCAB_CTE)}
+    {union}
+    ORDER BY rank"""
+
+
+def _bpe_apply_oracle(n: int) -> str:
+    vocab_cte = f"""
+    WITH toks AS (SELECT source, unnest({_TOKS}) AS w FROM documents),
+    wc AS MATERIALIZED (
+      SELECT source, w, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2
+    ),
+    vocab AS (SELECT w, sum(n)::BIGINT AS c FROM wc GROUP BY 1)"""
+    return f"""{_bpe_train_chain(n, vocab_cte)},
+    sym AS (
+      SELECT w,
+             len(string_split(substr(seg_str, 2, length(seg_str) - 2),
+                              {_BPE_SEP}))::BIGINT AS n_sym
+      FROM seg{n}
+    )
+    SELECT source,
+           sum(n * length(w))::BIGINT AS n_chars,
+           sum(n * n_sym)::BIGINT AS n_bpe_symbols,
+           round(sum(n * length(w))::DOUBLE / sum(n * n_sym),
+                 {ROUND_DIGITS}) AS chars_per_symbol
+    FROM wc JOIN sym USING (w)
+    GROUP BY source ORDER BY source"""
+
 
 @query(
     "bpe_merge1_gate",
@@ -1823,13 +1917,19 @@ def bpe_merge1_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_train_merges")  # rows-only: iterative (driver-coordinated
-# argmax per round) — no SQL oracle exists; pinned instead by
-# bpe_merge1_gate (hash) + the pure-Python reference in tests/test_text.py
+@query("bpe_train_merges", oracle=_bpe_train_oracle(_BPE_MERGES))
 def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ten BPE merge rules learned from the document corpus — the
     tokenizer-training step of the data pipeline (see
-    operators.text.bpe_train_merges for the distributed shape)."""
+    operators.text.bpe_train_merges for the distributed shape).
+
+    Hash-matched against a FIXED-DEPTH unrolled DuckDB oracle: the merge
+    count is a compile-time constant, so the driver-coordinated argmax
+    loop unrolls into 10 CTE rounds where the greedy rewrite is a
+    non-overlapping string replace over delimiter-wrapped symbols (see
+    _bpe_round_cte) — the same unrolled-iteration pattern as
+    event_markov_stationary. The open-ended-k trainer stays pinned by the
+    pure-Python Sennrich reference in tests/test_text.py."""
     docs = _docs(spark, sf_dir)
     vocab = (
         TX.explode_no_refilter(
@@ -2058,15 +2158,20 @@ def text_length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("bpe_apply_compression")  # rows-only: consumes the iterative
-# trainer's merge table (bpe_train_merges); pinned by the pure-Python
-# round-trip reference in tests/test_text.py + the trainer's own gates
+@query("bpe_apply_compression", oracle=_bpe_apply_oracle(_BPE_MERGES))
 def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the 10 learned BPE merges to the whole corpus and report
     per-source tokenizer compression: character-symbols before vs BPE
     symbols after — the fertility/compression audit run after training
     a tokenizer (see operators.text.bpe_segment_col; zero Python in the
-    row path, the merge table is 10 driver-side literals)."""
+    row path, the merge table is 10 driver-side literals).
+
+    Hash-matched: the oracle replays the same 10 unrolled training
+    rounds (see bpe_train_merges), then derives each DISTINCT word's
+    symbol count from its final delimiter-wrapped segmentation and
+    weights by per-(source, word) occurrence counts — segmentation is a
+    pure per-word function, so the distinct-word route aggregates to the
+    identical per-source totals the engine computes document-wise."""
     docs = _docs(spark, sf_dir)
     vocab = (
         TX.explode_no_refilter(

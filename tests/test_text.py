@@ -385,6 +385,30 @@ def test_curation_funnel_invariants(spark):
     assert 0.05 < frac < 0.5  # quarter-ish, deterministic, never empty
 
 
+def test_bpe_oracle_delimiters_absent_from_corpus(spark):
+    """The unrolled BPE DuckDB oracle wraps symbols in chr(30)/chr(31)
+    delimiters; its replace-based merge rewrite is only equivalent to
+    the greedy fold if neither byte occurs in any token. Assert that at
+    every generated SF so a corpus change can't silently corrupt the
+    oracle."""
+    import glob
+    import os
+
+    import duckdb
+
+    from .conftest import TESTDATA_ROOT
+
+    con = duckdb.connect()
+    for path in sorted(glob.glob(os.path.join(TESTDATA_ROOT, "sf*", "documents.parquet"))):
+        bad = con.execute(
+            "SELECT count(*) FROM read_parquet(?) "
+            "WHERE text LIKE '%' || chr(30) || '%' "
+            "   OR text LIKE '%' || chr(31) || '%'",
+            [path],
+        ).fetchone()[0]
+        assert bad == 0, path
+
+
 def test_bpe_matches_pure_python_reference(spark):
     """The distributed BPE trainer must reproduce the sequential
     Sennrich algorithm exactly: overlapping pair counts weighted by

@@ -23,10 +23,18 @@ collide across replicas — naive replication would manufacture near-dup
 clusters and quadratic pair blow-ups) and sources are suffixed per
 replica (so each source keeps its original per-source shape). Pair
 queries therefore see exactly 10× the original workload: 10 isolated
-copies. Embeddings are NOT fabricated (the all-pairs cosine baseline is
-intentionally quadratic; replicated vectors would also create degenerate
-duplicate neighborhoods), and the co-occurrence graph queries are
-excluded (duplicated orders multiply edge weights, not edges).
+copies. The embeddings axis (round-5 addition) gets the same isolation
+via per-replica SIGN MASKS: replica r's vectors are multiplied
+element-wise by a deterministic ±1 pattern (replica 0 = identity).
+Sign-flipping both sides of a dot product cancels (s²=1), so every
+WITHIN-replica cosine — and therefore each replica's neighborhood
+structure, LSH bucket geometry, and recall — is bit-identical to the
+original, while CROSS-replica cosines decorrelate to ~N(0, 1/√dim)
+noise: 10 isolated copies, no degenerate duplicate neighborhoods that
+naive replication would manufacture. dedup_embedding_cosine stays
+excluded (documented all-pairs quadratic oracle baseline), and the
+co-occurrence graph queries are excluded (duplicated orders multiply
+edge weights, not edges).
 
 Usage: python tools/scale_rehearsal.py [--out PATH] [--dir DIR] [names...]
 Exit 1 if any query's 10× growth ratio exceeds the supralinear flag.
@@ -172,6 +180,58 @@ TEXT_QUERIES = [
     # grows in WORD COUNT, not word length, and the op is linear in it.
 ]
 
+# Embedding-table queries (round-5): every non-quadratic consumer of the
+# embeddings table. The ANN trio is the family whose 100-TB behavior
+# matters most — previously its scale claims rested on code-reading
+# alone. knn_exact_cosine / sim_maxsim_multivector are O(Q·N) with the
+# fixed 5-query demo set, i.e. linear in N here — included as honest
+# baselines. knn_ann_recall_gate re-checks the LSH/IVF/IVF-PQ recall
+# floors ON the fabricated corpus (within-replica geometry is exact, see
+# module docstring, so the floors must hold at 10× too).
+# dedup_embedding_cosine is excluded: documented all-pairs quadratic
+# oracle baseline.
+EMBEDDING_QUERIES = [
+    "embedding_norms",
+    "label_centroid_norms",
+    "knn_exact_cosine",
+    "knn_ann_hyperplane_lsh",
+    "knn_ann_ivf",
+    "knn_ann_ivf_pq",
+    "knn_ann_recall_gate",
+    "mapinarrow_embedding_quantize",
+    "sim_maxsim_multivector",
+]
+
+# The replica tag inflates BYTES beyond 10x (measured ~1.55x extra), but
+# that only biases queries whose hot path does PER-CHARACTER work. This
+# explicit subset gets the byte-adjusted flag threshold; token-level
+# queries (shuffles/aggregates over token or doc rows — byte-neutral
+# cost) keep the raw threshold, so a mildly supralinear token query can
+# no longer hide inside the widened band (round-4 ADVICE). Every output
+# row records BOTH verdicts (`supralinear` vs the applied threshold,
+# `supralinear_raw` vs the unadjusted one) so the adjustment is
+# auditable per query.
+BYTE_SENSITIVE = {
+    "text_features",            # char-class regex counts over full text
+    "text_lang_id",             # char n-gram profile
+    "text_pii_redact",          # regex scan+rewrite over full text
+    "quality_filter_stats",     # punctuation/stopword char ratios
+    "quality_repetition_gopher",  # char+word shingle strings
+    "boilerplate_ngrams_by_source",  # shingle-string hashing
+    "dedup_exact",              # md5 over full text
+    "dedup_survivors",          # md5 over full text
+    "minhash_signatures",       # shingle-string hashing
+    "dedup_minhash_lsh_pairs",  # shingle-string hashing
+    "simhash_signatures",       # shingle-string hashing
+    "simhash_near_dup_pairs",   # shingle-string hashing
+    "dedup_ngram_jaccard_prefix",  # tag-lengthened shingle strings
+    "dedup_containment",        # tag-lengthened shingle strings
+    "doc_chunk_sliding",        # substring extraction of chunk text
+    "corpus_curation_e2e",      # fingerprint+minhash stages inside
+    "text_entropy_kl_by_source",  # per-character distribution
+    "bpe_merge1_gate",          # char-pair explode per distinct word
+}
+
 
 def _write(df, out_dir: str) -> None:
     tmp = out_dir + ".tmp"
@@ -207,6 +267,47 @@ def build_sf1_events(spark, out_dir: str) -> None:
 
 
 _OKEY_STRIDE = 1_000_000_000  # disjoint order keyspaces per replica
+
+
+def build_sf1_embeddings(spark, out_dir: str) -> None:
+    """10× embeddings with per-replica DISJOINT NEIGHBORHOODS: replica
+    r's vectors are sign-masked by a deterministic ±1 pattern (replica 0
+    = identity, so the demo query vectors vec_id<5 keep their original
+    geometry). Within a replica every cosine is bit-identical to the
+    original corpus (the masks cancel: Σ s_i² u_i v_i = u·v); across
+    replicas the random sign pattern decorrelates dots to noise — ten
+    isolated copies, which is exactly 10× the honest ANN workload."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF01_DIR, "embeddings")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.RandomState(7)
+    masks = rng.choice([-1.0, 1.0], size=(REPS, dim))
+    masks[0, :] = 1.0  # replica 0 is the untouched original
+    masks_lit = F.array(
+        *[
+            F.array(*[F.lit(float(v)).cast("float") for v in masks[r]])
+            for r in range(REPS)
+        ]
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPS - 1))).alias("_rep")
+    up = (
+        emb.select("*", reps)
+        .select(
+            (F.col("vec_id") + F.col("_rep") * F.lit(n)).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(masks_lit, F.col("_rep") + 1),
+                lambda x, m: (x * m).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    _write(up, out_dir)
 
 
 def build_sf1_docs(spark, out_dir: str) -> None:
@@ -299,7 +400,13 @@ def main() -> None:
             names.append(a)
     names = [
         n
-        for n in (names or EVENT_QUERIES + RELATIONAL_QUERIES + TEXT_QUERIES)
+        for n in (
+            names
+            or EVENT_QUERIES
+            + RELATIONAL_QUERIES
+            + TEXT_QUERIES
+            + EMBEDDING_QUERIES
+        )
         if n in plans.QUERIES
     ]
 
@@ -308,6 +415,7 @@ def main() -> None:
         "orders": (os.path.join(base_dir, "orders_sf1"), None),
         "lineitem": (os.path.join(base_dir, "lineitem_sf1"), None),
         "documents": (os.path.join(base_dir, "documents_sf1"), None),
+        "embeddings": (os.path.join(base_dir, "embeddings_sf1"), None),
     }
     if not os.path.exists(os.path.join(fabricated["events"][0], "_SUCCESS")):
         t0 = time.perf_counter()
@@ -335,6 +443,16 @@ def main() -> None:
             f"{time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
+    if not os.path.exists(
+        os.path.join(fabricated["embeddings"][0], "_SUCCESS")
+    ):
+        t0 = time.perf_counter()
+        build_sf1_embeddings(spark, fabricated["embeddings"][0])
+        print(
+            f"built sf1 embeddings ({REPS}x sf0.1, sign-masked replicas) "
+            f"in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
     # Queries take an sf_dir: fabricated tables point at the upsamples,
     # every other table symlinks the real sf0.1 parquet (dims stay dims).
     sf1_dir = os.path.join(base_dir, "as_sf_dir")
@@ -356,8 +474,11 @@ def main() -> None:
             os.symlink(target, link)
 
     def run(name: str, sf_dir: str) -> float:
-        df = plans.QUERIES[name](spark, sf_dir)
+        # Construction + execution, same protocol as bench.py: build-time
+        # driver-coordinated work (BPE argmax rounds, eager checkpoints)
+        # must grow with the decade too, so it belongs inside the ratio.
         t0 = time.perf_counter()
+        df = plans.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
         # same cache isolation as bench.py: queries that persist
@@ -391,7 +512,7 @@ def main() -> None:
         byte_factor = round(b1 / (REPS * b01), 3)
 
     def threshold(name: str) -> float:
-        if name in TEXT_QUERIES:
+        if name in BYTE_SENSITIVE:
             return SUPRALINEAR_RATIO * byte_factor
         return SUPRALINEAR_RATIO
 
@@ -425,7 +546,13 @@ def main() -> None:
                 "query": n,
                 "sec": {"0.1": t_01, "1": t_1},
                 "growth_10x": ratio,
+                "threshold": round(threshold(n), 2),
                 "supralinear": ratio > threshold(n),
+                # raw verdict vs the UNADJUSTED threshold, recorded even
+                # for byte-sensitive queries so the byte-factor
+                # adjustment is auditable row by row
+                "supralinear_raw": ratio > SUPRALINEAR_RATIO,
+                **({"byte_adjusted": True} if n in BYTE_SENSITIVE else {}),
                 **({"retried": True} if retried else {}),
             }
         )

@@ -41,8 +41,10 @@ def main() -> None:
     spark = get_spark(app_name="scaling-study")
 
     def run(name: str, sf_dir: str) -> float:
-        df = plans.QUERIES[name](spark, sf_dir)
+        # Construction + execution (same protocol as bench.py round-5):
+        # build-time driver-coordinated work belongs inside the ratio.
         t0 = time.perf_counter()
+        df = plans.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
