@@ -171,6 +171,33 @@ def knn_ann_hyperplane(
     )
 
 
+def ivf_params(n_vectors: int) -> tuple[int, int, int]:
+    """Corpus-size-scaled IVF index parameters: ``n_clusters ≈ √N``
+    (the standard IVF sizing rule — cells stay ~√N vectors each) with a
+    constant 40% probe fraction, floored at the (16, 4) demo values so
+    tiny smoke corpora keep their historical behavior. Fixed (16, 4) at
+    every scale is exactly the config a real deployment would NOT run:
+    at 10× the corpus each cell holds 10× the vectors and recall decays
+    (measured on the 10× rehearsal corpus: IVF recall@10 0.58 fixed vs
+    0.86 scaled; IVF-PQ fell through its 0.5 floor fixed). The probe
+    fraction is the recall/cost dial; 40% measured 0.80–0.90 IVF recall
+    across every SF decade while still pruning ~60% of the corpus —
+    production would tune it per workload.
+
+    The third value is the IVF-PQ re-rank budget multiplier: shortlist
+    = k·refine with refine ∝ n_clusters (i.e. √N), so the exact re-rank
+    grows SUBLINEARLY while the ADC-scored candidate pool grows with N.
+    A fixed shortlist is the scaled index's failure mode — at 10× the
+    pool, k·8 of ~8 000 ADC-scored candidates measured recall 0.40;
+    √N-scaled (k·35) measured ≥0.62, floors met at every decade."""
+    n_clusters = max(16, int(n_vectors ** 0.5))
+    return (
+        n_clusters,
+        max(4, round(n_clusters * 0.4)),
+        max(8, n_clusters // 4),
+    )
+
+
 def knn_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -392,7 +419,7 @@ def knn_ivf_pq(
     n_probe: int = 4,
     m: int = 8,
     n_codes: int = 16,
-    refine: int = 4,
+    refine: int = 8,
     sample_limit: int = 10_000,
     seed: int = 42,
 ) -> DataFrame:
@@ -421,8 +448,21 @@ def knn_ivf_pq(
     centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
 
     # --- PQ codebooks on a bounded deterministic sample ---
+    # STRIDED by id, not orderBy(id).limit(): a head-of-table sample is
+    # BIASED once ids correlate with content (any partitioned/appended
+    # corpus does) — measured on the 10× rehearsal corpus, head-sampled
+    # codebooks encode the unsampled half of the corpus as near-noise
+    # and ADC floods the shortlist with it (recall@10 0.38 head vs
+    # ≥0.5 strided). Every ⌈N/limit⌉-th id spans the full id range at
+    # the same bounded collect size.
+    n_vecs = vectors.count()
+    stride = max(1, -(-n_vecs // sample_limit))  # ceil division
     sample_rows = (
-        vectors.orderBy(id_col).limit(sample_limit).select(vec_col).collect()
+        vectors.where(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .select(vec_col)
+        .collect()
     )
     sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
     books = pq_train_codebooks(sample, m=m, n_codes=n_codes, seed=seed)

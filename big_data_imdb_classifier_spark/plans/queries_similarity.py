@@ -269,10 +269,22 @@ def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = exact.join(ann.select(cols), cols, "left_semi").count()
         return hit / n_exact
 
+    n_clusters, n_probe, refine = SIM.ivf_params(emb.count())
     lsh = recall(SIM.knn_ann_hyperplane(emb, queries, k=TOP_K))
-    ivf = recall(SIM.knn_ivf(emb, queries, k=TOP_K, n_clusters=16, n_probe=4))
+    ivf = recall(
+        SIM.knn_ivf(
+            emb, queries, k=TOP_K, n_clusters=n_clusters, n_probe=n_probe
+        )
+    )
     ivfpq = recall(
-        SIM.knn_ivf_pq(emb, queries, k=TOP_K, n_clusters=16, n_probe=4)
+        SIM.knn_ivf_pq(
+            emb,
+            queries,
+            k=TOP_K,
+            n_clusters=n_clusters,
+            n_probe=n_probe,
+            refine=refine,
+        )
     )
     return spark.createDataFrame(
         [(N_QUERY_VECS, lsh >= 0.85, ivf >= 0.5, ivfpq >= 0.5)],
@@ -283,12 +295,16 @@ def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_ann_ivf")  # rows-only: recall-gated in pytest + recall gate query
 def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate cosine top-k (KMeans coarse quantizer, 16 cells,
-    4-probe): the partition-pruned scale path. Recall@10 vs the exact
-    baseline asserted in tests/test_similarity.py."""
+    """IVF approximate cosine top-k (KMeans coarse quantizer, √N cells,
+    40% probe fraction — SIM.ivf_params): the partition-pruned scale
+    path. Recall@10 vs the exact baseline asserted in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    out = SIM.knn_ivf(emb, queries, k=TOP_K, n_clusters=16, n_probe=4)
+    n_clusters, n_probe, _ = SIM.ivf_params(emb.count())
+    out = SIM.knn_ivf(
+        emb, queries, k=TOP_K, n_clusters=n_clusters, n_probe=n_probe
+    )
     return out.select(
         "query_id",
         "neighbor_id",
@@ -304,10 +320,19 @@ def knn_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-candidate cost, exact cosine re-ranks a k*4 shortlist — the
     memory-scale ANN path where full float vectors can't be re-read per
     search. Recall@10 vs the exact baseline asserted in
-    tests/test_similarity.py and in the oracle-pinned recall gate."""
+    tests/test_similarity.py and in the oracle-pinned recall gate.
+    Index sized by SIM.ivf_params (√N cells, 40% probe, √N-scaled re-rank budget)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    out = SIM.knn_ivf_pq(emb, queries, k=TOP_K, n_clusters=16, n_probe=4)
+    n_clusters, n_probe, refine = SIM.ivf_params(emb.count())
+    out = SIM.knn_ivf_pq(
+        emb,
+        queries,
+        k=TOP_K,
+        n_clusters=n_clusters,
+        n_probe=n_probe,
+        refine=refine,
+    )
     return out.select(
         "query_id",
         "neighbor_id",

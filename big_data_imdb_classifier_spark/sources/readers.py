@@ -40,7 +40,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Each conversion is a codegen'd projection on top of the scan;
     pushdown/pruning on other columns is unaffected.
+
+    ``sf_dir`` may also be a ``synthetic://`` URI (e.g.
+    ``synthetic://?rows=10000000&seed=1&users=150000&partitions=64``), in
+    which case the ``events`` table is served storage-free by the
+    deterministic Python DataSource (sources/pyds.py) — the scale-
+    rehearsal route to SFs bigger than any on-disk parquet. Only
+    ``events`` exists synthetically; the generator has no ``props``
+    column, so it is padded with NULLs to keep the declared schema (a
+    props-consuming query run synthetically sees empty props — callers
+    pick props-free queries).
     """
+    if sf_dir.startswith("synthetic://"):
+        return _load_synthetic_events(spark, sf_dir, name)
     # These are *runtime* SQL confs; set them on whatever session we are
     # handed (the driver contract passes in a vanilla session that did not
     # go through our factory — round-1 CORRECTNESS failure mode).
@@ -73,6 +85,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # naive wall-clock to the identical UTC instant.
                 df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
+
+
+def _load_synthetic_events(
+    spark: SparkSession, uri: str, name: str
+) -> DataFrame:
+    """Serve ``events`` from the synthetic Python DataSource. URI query
+    params map 1:1 onto the reader options (rows/seed/users/partitions);
+    session timezone is pinned UTC like the parquet path so event-time
+    bucketing agrees across sources."""
+    from urllib.parse import parse_qsl, urlparse
+
+    if name != "events":
+        raise ValueError(
+            f"synthetic:// serves only the events table, not {name!r}"
+        )
+    from . import pyds
+
+    pyds.register(spark)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    opts = dict(parse_qsl(urlparse(uri).query))
+    reader = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    # The generator has no props column; pad to the declared schema.
+    return reader.load().withColumn("props", F.lit(None).cast("string"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -96,6 +96,20 @@ EVENT_QUERIES = [
     "event_welch_ttest_value",
 ]
 
+# The cheapest PROPS-FREE event queries (the synthetic generator serves
+# event_id/ts/user_id/event_type/value; props is NULL-padded), spot-
+# checked at a third decade (1e6 → 1e7 rows) through the storage-free
+# Python DataSource. Kept cheap on purpose: at 1e7 rows the Python-side
+# generation is the linear floor and expensive queries would mostly
+# re-measure it.
+SF10_EVENT_QUERIES = [
+    "event_window_tumbling",
+    "event_date_trunc_rollup",
+    "event_dedup_latest",
+    "event_weekday_seasonality",
+    "user_event_type_profile",
+]
+
 # Relational queries over lineitem/orders + dims. Excluded by design:
 # graph_* (order replication multiplies co-occurrence WEIGHTS, not the
 # edge set — a different workload, not the same one at 10×).
@@ -398,6 +412,7 @@ def main() -> None:
             skip = True
         elif not a.startswith("--"):
             names.append(a)
+    only_named = bool(names)
     names = [
         n
         for n in (
@@ -557,11 +572,57 @@ def main() -> None:
             }
         )
 
+    # THIRD DECADE (sf10-equivalent, storage-free): the synthetic Python
+    # DataSource serves the events shape at any row count, so the
+    # cheapest props-free event queries get one more 10× step — 1e6 vs
+    # 1e7 rows (10× / 100× the bench SF's 1e5), both sides drawn from
+    # the SAME deterministic generator (the ratio is self-consistent; no
+    # parquet/synthetic cross-comparison). User cardinality scales with
+    # rows to preserve the per-user density the sf0.1 parquet has
+    # (1 500 users per 1e5 rows). Generation is Python-per-row and
+    # linear, so it cannot mask a supralinear query — it only adds a
+    # linear floor to both sides.
+    sf10_rows = []
+    if not only_named:
+        def synth(rows_n: int) -> str:
+            return (
+                f"synthetic://?rows={rows_n}&seed=1"
+                f"&users={rows_n * 15 // 1000}&partitions=64"
+            )
+
+        for n in SF10_EVENT_QUERIES:
+            if n not in plans.QUERIES:
+                continue
+            try:
+                t_1 = round(
+                    sorted(run(n, synth(1_000_000)) for _ in range(3))[1], 3
+                )
+                t_10 = round(run(n, synth(10_000_000)), 3)
+                ratio = round(t_10 / max(t_1, 1e-9), 2)
+                retried = False
+                if ratio > SUPRALINEAR_RATIO:
+                    t_10 = round(min(t_10, run(n, synth(10_000_000))), 3)
+                    ratio = round(t_10 / max(t_1, 1e-9), 2)
+                    retried = True
+            except Exception as ex:  # noqa: BLE001
+                print(f"rehearsal sf10: {n} failed: {ex}", file=sys.stderr)
+                continue
+            sf10_rows.append(
+                {
+                    "query": n,
+                    "sec": {"1": t_1, "10": t_10},
+                    "growth_10x": ratio,
+                    "supralinear": ratio > SUPRALINEAR_RATIO,
+                    **({"retried": True} if retried else {}),
+                }
+            )
+
     out = {
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "reps": REPS,
         "text_byte_factor": byte_factor,
         "rows": rows,
+        "sf10_synthetic_rows": sf10_rows,
     }
     out_path = _flag_value("--out")
     if out_path:
@@ -573,8 +634,23 @@ def main() -> None:
             f"{r['sec']['0.1']:7.2f} {r['sec']['1']:7.2f} "
             f"x{r['growth_10x']:<5} {r['query']}{flag}"
         )
-    n_bad = sum(r["supralinear"] for r in rows)
-    print(json.dumps({"total": len(rows), "supralinear": n_bad}))
+    for r in sf10_rows:
+        flag = "  <-- SUPRALINEAR" if r["supralinear"] else ""
+        print(
+            f"{r['sec']['1']:7.2f} {r['sec']['10']:7.2f} "
+            f"x{r['growth_10x']:<5} {r['query']} [sf10 synthetic]{flag}"
+        )
+    n_bad = sum(r["supralinear"] for r in rows) + sum(
+        r["supralinear"] for r in sf10_rows
+    )
+    print(
+        json.dumps(
+            {
+                "total": len(rows) + len(sf10_rows),
+                "supralinear": n_bad,
+            }
+        )
+    )
     spark.stop()
     sys.exit(1 if n_bad else 0)
 
