@@ -69,6 +69,35 @@ def main() -> None:
         print(f"ok   {name}: {status} ({results[name]['sec']}s)", flush=True)
 
     fails = [n for n, r in results.items() if r["status"] == "FAIL"]
+
+    # Self-documenting timing outliers (round-5): the sim's per-query
+    # seconds include sweep-position effects (first-touch JIT, Arrow
+    # worker spin-up, a predecessor's cache eviction), which made r04's
+    # slowest rows unexplainable from the artifact alone. Re-run the
+    # top-5 slowest once, warm, and record the verdict inline.
+    ok_names = [n for n, r in results.items() if r["status"] != "FAIL"]
+    for name in sorted(
+        ok_names, key=lambda n: -results[n].get("sec", 0)
+    )[:5]:
+        t0 = time.time()
+        try:
+            df = queries[name](spark, SF_DIR)
+            if name in oracles:
+                compare(df, con, oracles[name])
+            else:
+                df.count()
+        except Exception:  # noqa: BLE001 — note stays best-effort
+            continue
+        rerun = round(time.time() - t0, 2)
+        first = results[name]["sec"]
+        results[name]["sec_rerun"] = rerun
+        results[name]["timing_note"] = (
+            "sweep-position cold cost (warm rerun is "
+            f"{rerun}s vs {first}s first run)"
+            if rerun < first * 0.67
+            else "intrinsic (warm rerun within 1.5x of first run)"
+        )
+
     out_path = os.environ.get("SPARK_GRAFT_SIM_OUT")
     if out_path:
         # Committed round artifact (SIM_r{N}.json) so the sim results the
