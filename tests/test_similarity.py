@@ -147,3 +147,22 @@ def test_pq_codebooks_deterministic_and_shaped():
     assert np.array_equal(b1, b2)
     b3 = SIM.pq_train_codebooks(sample, m=8, n_codes=16, seed=43)
     assert not np.array_equal(b1, b3)
+
+
+def test_ivf_params_scaling():
+    """Index sizing: √N cells (floored at the 16/4/8 demo values), 40%
+    probe fraction, √N-proportional re-rank budget — all monotone in N
+    and exactly the demo floor at tiny corpora."""
+    from big_data_imdb_classifier_spark.operators.similarity import (
+        ivf_params,
+    )
+
+    assert ivf_params(50) == (16, 6, 8)
+    assert ivf_params(256) == (16, 6, 8)
+    nc, np_, rf = ivf_params(20_000)
+    assert nc == 141 and np_ == round(141 * 0.4) and rf == 141 // 4
+    prev = (0, 0, 0)
+    for n in [10, 100, 1_000, 10_000, 100_000, 1_000_000]:
+        cur = ivf_params(n)
+        assert all(c >= p for c, p in zip(cur, prev)), (n, cur, prev)
+        prev = cur

@@ -314,6 +314,34 @@ class TestSyntheticEventsDataSource:
             r = r.option(k, v)
         return r.load()
 
+    def test_load_table_synthetic_scheme(self, spark):
+        """load_table serves events from a synthetic:// URI: same rows
+        as a direct format read, props padded to the declared schema,
+        and any other table name rejected."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from big_data_imdb_classifier_spark.sources.readers import (
+            load_table,
+        )
+
+        uri = "synthetic://?rows=2000&seed=3&users=40&partitions=4"
+        via_load = load_table(spark, uri, "events")
+        assert [f.name for f in via_load.schema.fields] == [
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ]
+        assert via_load.count() == 2000
+        assert (
+            via_load.where(F.col("props").isNotNull()).count() == 0
+        )  # NULL-padded
+        direct = self._load(spark, rows=2000, seed=3, users=40, partitions=4)
+        assert (
+            via_load.drop("props").exceptAll(direct).count() == 0
+            and direct.exceptAll(via_load.drop("props")).count() == 0
+        )
+        with pytest.raises(ValueError, match="only the events table"):
+            load_table(spark, uri, "orders")
+
     def test_row_count_schema_and_partitioning(self, spark):
         from pyspark.sql import functions as F
 
