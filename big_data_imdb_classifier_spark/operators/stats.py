@@ -129,6 +129,8 @@ def group_quantiles(
     keys: list[str],
     val_col: str,
     pcts: list[float],
+    weight_col: str | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact interpolated quantiles of ``val_col`` per ``keys`` group
     (global when ``keys`` is empty), computed distributively.
@@ -136,6 +138,18 @@ def group_quantiles(
     Returns one row per group: ``keys`` + array column ``q`` holding the
     quantile values in ``pcts`` order. NULL values are excluded (same as
     F.percentile / quantile_cont).
+
+    With ``weight_col``, each input row stands for that many occurrences
+    of its value — the PRE-AGGREGATED entry point: a caller that already
+    holds a distinct-value frame with counts (e.g. a previous quantile
+    pass's domain, or values derived arithmetically from one) feeds it
+    straight in and the fact table is never rescanned. Quantiles over
+    weighted values equal quantiles over the expanded multiset, because
+    rank intervals are exactly the cumulative weights. With
+    ``assume_distinct=True`` the caller additionally guarantees (keys,
+    value) is unique per row (NULL values still allowed — they are
+    filtered here) and the internal dedup aggregation — a full shuffle
+    of the domain — is skipped entirely.
 
     The rank-probe side is |groups| × 2·|pcts| rows — broadcastable up
     to millions of groups; beyond that, drop the broadcast hint and let
@@ -151,11 +165,22 @@ def group_quantiles(
         keys = ["_gq_key"]
     kcols = [F.col(k) for k in keys]
 
-    vc = (
-        df.where(F.col(val_col).isNotNull())
-        .groupBy(*kcols, F.col(val_col).alias("_v"))
-        .agg(F.count("*").alias("_c"))
-    )
+    if assume_distinct:
+        vc = df.where(F.col(val_col).isNotNull()).select(
+            *kcols,
+            F.col(val_col).alias("_v"),
+            (F.col(weight_col) if weight_col else F.lit(1)).alias("_c"),
+        )
+    else:
+        vc = (
+            df.where(F.col(val_col).isNotNull())
+            .groupBy(*kcols, F.col(val_col).alias("_v"))
+            .agg(
+                (
+                    F.sum(weight_col) if weight_col else F.count("*")
+                ).alias("_c")
+            )
+        )
     # (keys, _v) is unique by construction — the distributed_cumsum
     # precondition holds. _c_cum is each distinct value's exact global
     # per-key rank upper bound; [_cum_prev, _cum) its rank interval.

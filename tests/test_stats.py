@@ -122,6 +122,37 @@ def test_group_quantiles_matches_builtin_percentile(spark):
     assert got_g == want_g
 
 
+def test_group_quantiles_weighted_equals_expanded(spark):
+    """The weight_col pre-aggregated entry point must equal quantiles
+    over the row-expanded multiset — rank intervals are cumulative
+    weights, so a (value, count) domain frame stands in for the fact
+    table exactly (the one-scan stats_mad_outliers plan rides on
+    this)."""
+    import random
+
+    from big_data_imdb_classifier_spark.operators.stats import group_quantiles
+
+    rng = random.Random(11)
+    agg_rows, expanded = [], []
+    for g in ["a", "b"]:
+        for v in sorted({round(rng.uniform(-5, 5), 2) for _ in range(40)}):
+            c = rng.randint(1, 7)
+            agg_rows.append((g, v, c))
+            expanded.extend((g, v) for _ in range(c))
+    wdf = spark.createDataFrame(agg_rows, "g string, v double, n long")
+    xdf = spark.createDataFrame(expanded, "g string, v double")
+    pcts = [0.05, 0.5, 0.75, 0.95]
+    got = {
+        r["g"]: r["q"]
+        for r in group_quantiles(wdf, ["g"], "v", pcts, weight_col="n").collect()
+    }
+    want = {
+        r["g"]: r["q"]
+        for r in group_quantiles(xdf, ["g"], "v", pcts).collect()
+    }
+    assert got == want
+
+
 def test_group_quantiles_property_vs_builtin(spark):
     """Hypothesis differential: random grouped value multisets (heavy
     duplication, negatives, tiny groups) — group_quantiles must equal
