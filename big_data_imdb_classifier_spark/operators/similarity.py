@@ -198,6 +198,105 @@ def ivf_params(n_vectors: int) -> tuple[int, int, int]:
     )
 
 
+# Deterministic Lloyd quantizer constants, shared VERBATIM with the
+# DuckDB oracle (plans/queries_similarity._ivf_oracle): per-round means
+# and pre-argmin distances are rounded so numpy-vs-SQL accumulation ulps
+# cannot flip an assignment (the CUSUM/Welch intermediate-rounding
+# pattern applied to clustering).
+LLOYD_ITERS = 5
+LLOYD_CENTER_DIGITS = 6
+LLOYD_DIST_DIGITS = 9
+
+
+def strided_sample_vectors(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    limit: int = 10_000,
+) -> np.ndarray:
+    """Bounded deterministic training sample: every ⌈N/limit⌉-th id,
+    spanning the whole id range (a head-of-table sample is biased once
+    ids correlate with content — see knn_ivf_pq). Returns float64
+    (S, dim)."""
+    n_vecs = vectors.count()
+    stride = max(1, -(-n_vecs // limit))
+    rows = (
+        vectors.where(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .limit(limit)
+        .select(vec_col)
+        .collect()
+    )
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _sq_dists_rounded(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Rounded squared distances via the Σx²+Σc²−2x·c decomposition —
+    the SAME formula shape the SQL oracle uses, so both engines round
+    the same three dot sums."""
+    d = (
+        (x * x).sum(axis=1)[:, None]
+        + (centers * centers).sum(axis=1)[None, :]
+        - 2.0 * (x @ centers.T)
+    )
+    return np.round(d, LLOYD_DIST_DIGITS)
+
+
+def lloyd_centers_deterministic(
+    sample: np.ndarray, n_clusters: int, n_iter: int = LLOYD_ITERS
+) -> np.ndarray:
+    """RNG-FREE Lloyd clustering on the bounded sample: init = the first
+    ``n_clusters`` sample rows (id order), then ``n_iter`` fixed rounds
+    of rounded-distance argmin (ties → lowest cell id, numpy first-min)
+    and per-cell means rounded to LLOYD_CENTER_DIGITS; an emptied cell
+    keeps its previous center. Every step is replayable in SQL, which is
+    what makes the IVF search oracle-checkable end-to-end — MLlib's
+    KMeans (kmeans|| RNG init) is not."""
+    k = min(n_clusters, len(sample))
+    centers = np.round(sample[:k].copy(), LLOYD_CENTER_DIGITS)
+    for _ in range(n_iter):
+        assign = _sq_dists_rounded(sample, centers).argmin(axis=1)
+        new = centers.copy()
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                new[c] = np.round(
+                    sample[mask].mean(axis=0), LLOYD_CENTER_DIGITS
+                )
+        centers = new
+    return centers
+
+
+def assign_cells_col(centers: np.ndarray, vec_col: str = "embedding"):
+    """Arrow-batched corpus→cell assignment against the deterministic
+    centers (rounded-distance argmin, ties → lowest cell id)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(
+            _sq_dists_rounded(m, centers).argmin(axis=1).astype(np.int32)
+        )
+
+    return assign(F.col(vec_col))
+
+
+def probe_cells_col(
+    centers: np.ndarray, n_probe: int, vec_col: str = "embedding"
+):
+    """Arrow-batched query-side multi-probe: the ``n_probe`` nearest
+    cells by rounded distance, ties → lowest cell id (stable argsort)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = _sq_dists_rounded(m, centers)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe(F.col(vec_col))
+
+
 def knn_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -209,41 +308,31 @@ def knn_ivf(
     seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next
-    to hyperplane LSH: a distributed KMeans coarse quantizer partitions
-    the corpus into ``n_clusters`` cells; each query probes only its
-    ``n_probe`` nearest cells and pays exact cosine on those candidates.
+    to hyperplane LSH: a DETERMINISTIC Lloyd coarse quantizer
+    (lloyd_centers_deterministic — RNG-free, trained on the strided
+    bounded sample) partitions the corpus into ``n_clusters`` cells; each
+    query probes only its ``n_probe`` nearest cells and pays exact cosine
+    on those candidates.
 
-    Corpus cell assignment is a KMeansModel.transform (one pass); the
-    centroid table is tiny and rides into an Arrow pandas_udf closure for
-    the query-side multi-probe. Work per query scales with
+    Corpus cell assignment is one Arrow pass against the tiny centroid
+    matrix riding the closure; work per query scales with
     n_probe/n_clusters of the corpus, and the cell assignment is
     re-usable (in production: computed once, stored as a column,
-    partition-pruned at read time).
+    partition-pruned at read time). Because the quantizer is replayable
+    in SQL, the WHOLE search hash-matches its DuckDB oracle — ``seed``
+    is kept for signature compatibility and ignored.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    sample = strided_sample_vectors(vectors, id_col, vec_col)
+    centers = lloyd_centers_deterministic(sample, n_clusters)
 
-    train = vectors.select(
-        F.col(id_col), array_to_vector(as_double(vec_col)).alias("_fv")
+    corpus_cells = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_cells_col(centers, vec_col).alias("cell"),
     )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell")
-    model = km.fit(train)
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
-
-    corpus_cells = model.transform(train).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_cell").alias("cell")
-    )
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (B, dim)
-        d = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)  # (B, C)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
 
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        F.explode(probe_cells_col(centers, n_probe, vec_col)).alias("cell"),
     )
 
     cand = (
@@ -436,55 +525,30 @@ def knn_ivf_pq(
     (``sample_limit``); corpus encoding is one Arrow pass and in
     production is written once as a column next to the cell id.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # --- coarse quantizer (shared shape with knn_ivf) ---
-    train = vectors.select(
-        F.col(id_col), array_to_vector(as_double(vec_col)).alias("_fv")
-    )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell")
-    model = km.fit(train)
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-
-    # --- PQ codebooks on a bounded deterministic sample ---
-    # STRIDED by id, not orderBy(id).limit(): a head-of-table sample is
-    # BIASED once ids correlate with content (any partitioned/appended
-    # corpus does) — measured on the 10× rehearsal corpus, head-sampled
-    # codebooks encode the unsampled half of the corpus as near-noise
-    # and ADC floods the shortlist with it (recall@10 0.38 head vs
-    # ≥0.5 strided). Every ⌈N/limit⌉-th id spans the full id range at
-    # the same bounded collect size.
-    n_vecs = vectors.count()
-    stride = max(1, -(-n_vecs // sample_limit))  # ceil division
-    sample_rows = (
-        vectors.where(F.pmod(F.col(id_col), F.lit(stride)) == 0)
-        .orderBy(id_col)
-        .limit(sample_limit)
-        .select(vec_col)
-        .collect()
-    )
-    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    # --- coarse quantizer: deterministic Lloyd on the strided bounded
+    # sample, shared with knn_ivf. STRIDED by id, not
+    # orderBy(id).limit(): a head-of-table sample is BIASED once ids
+    # correlate with content (any partitioned/appended corpus does) —
+    # measured on the 10× rehearsal corpus, head-sampled codebooks
+    # encode the unsampled half of the corpus as near-noise and ADC
+    # floods the shortlist with it (recall@10 0.38 head vs ≥0.5
+    # strided). The same sample trains the PQ codebooks. ---
+    sample = strided_sample_vectors(vectors, id_col, vec_col, sample_limit)
+    centers = lloyd_centers_deterministic(sample, n_clusters)
     books = pq_train_codebooks(sample, m=m, n_codes=n_codes, seed=seed)
 
-    corpus_cells = model.transform(train).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_cell").alias("cell")
+    corpus_cells = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_cells_col(centers, vec_col).alias("cell"),
     )
     codes = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         pq_encode_col(books, vec_col).alias("codes"),
     )
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy()).astype(np.float64)
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
-
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        F.explode(probe_cells_col(centers, n_probe, vec_col)).alias("cell"),
     )
     cand = (
         q_cells.join(corpus_cells, "cell")

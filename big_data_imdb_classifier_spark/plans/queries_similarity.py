@@ -4,10 +4,13 @@ Exact cosine top-k carries a full DuckDB oracle (list_dot_product on
 DOUBLE[] matches the engine's sequential double accumulation to far
 below rounding tolerance). The hyperplane-LSH ANN variant is ALSO fully
 hash-matched — its hyperplanes are seeded plan literals, so the oracle
-replays the whole index in SQL (see _lsh_oracle). Only the two
-KMeans-based indexes (IVF, IVF-PQ) are rows-only (JVM RNG in the coarse
-quantizer is not SQL-replayable); both are quality-gated by recall@k in
-pytest and by the hash-matched knn_ann_recall_gate.
+replays the whole index in SQL (see _lsh_oracle). The IVF search is
+fully hash-matched too: its deterministic Lloyd coarse quantizer
+(RNG-free, SIM.lloyd_centers_deterministic) unrolls into a fixed SQL
+CTE chain (see _ivf_oracle). Only IVF-PQ remains rows-only (the PQ
+codebook training + ADC reconstruction would need the same unrolled
+treatment per subspace — diminishing returns); it is quality-gated by
+recall@k in pytest and by the hash-matched knn_ann_recall_gate.
 """
 
 from __future__ import annotations
@@ -293,12 +296,125 @@ def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ann_ivf")  # rows-only: recall-gated in pytest + recall gate query
+def _lloyd_round_cte(r: int) -> str:
+    """One unrolled Lloyd round: rounded-distance argmin assignment
+    (ties → lowest cell id) then per-cell per-dim means rounded to
+    LLOYD_CENTER_DIGITS; an emptied cell keeps its previous center —
+    mirroring SIM.lloyd_centers_deterministic step for step."""
+    cd, dd = SIM.LLOYD_CENTER_DIGITS, SIM.LLOYD_DIST_DIGITS
+    return f"""
+    asg{r} AS MATERIALIZED (
+      SELECT rid, v, cid FROM (
+        SELECT s.rid, s.v, c.cid,
+          row_number() OVER (PARTITION BY s.rid ORDER BY
+            round(list_dot_product(s.v, s.v) + list_dot_product(c.c, c.c)
+                  - 2 * list_dot_product(s.v, c.c), {dd}), c.cid) AS rn
+        FROM samp s CROSS JOIN c{r - 1} c
+      ) WHERE rn = 1
+    ),
+    mdim{r} AS (
+      SELECT cid, pos, round(avg(v[pos]), {cd}) AS cv
+      FROM asg{r}, unnest(generate_series(1, len(v))) AS t{r}(pos)
+      GROUP BY cid, pos
+    ),
+    mlist{r} AS (
+      SELECT cid, list(cv ORDER BY pos) AS c FROM mdim{r} GROUP BY cid
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT p.cid, coalesce(m.c, p.c) AS c
+      FROM c{r - 1} p LEFT JOIN mlist{r} m USING (cid)
+    )"""
+
+
+def _ivf_oracle() -> str:
+    """Full DuckDB oracle for the IVF ANN search: the deterministic
+    Lloyd coarse quantizer (RNG-free — strided sample init, fixed
+    LLOYD_ITERS rounds, per-round rounded means, rounded-distance
+    argmin) unrolls into a fixed CTE chain exactly like the BPE
+    trainer, then cell assignment / multi-probe / exact-cosine ranking
+    replay the search. Index sizing (√N cells, 40% probe) is computed
+    IN SQL from count(*) with the same floors as SIM.ivf_params.
+    Distances on both engines use the identical Σx²+Σc²−2x·c
+    decomposition rounded at LLOYD_DIST_DIGITS, so accumulation-order
+    ulps cannot flip an assignment."""
+    cd, dd = SIM.LLOYD_CENTER_DIGITS, SIM.LLOYD_DIST_DIGITS
+    rounds = ",".join(
+        _lloyd_round_cte(r) for r in range(1, SIM.LLOYD_ITERS + 1)
+    )
+    last = f"c{SIM.LLOYD_ITERS}"
+    return f"""
+    WITH cfg AS (
+      SELECT n,
+        GREATEST(16, CAST(floor(sqrt(n)) AS INT)) AS k_cells,
+        GREATEST(4, CAST(round(0.4 * GREATEST(16,
+          CAST(floor(sqrt(n)) AS INT))) AS INT)) AS n_probe,
+        CAST(ceil(n / 10000.0) AS BIGINT) AS stride
+      FROM (SELECT count(*)::BIGINT AS n FROM embeddings)
+    ),
+    e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    samp AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rid, v
+      FROM e, cfg WHERE vec_id % cfg.stride = 0
+      ORDER BY vec_id LIMIT 10000
+    ),
+    c0 AS MATERIALIZED (
+      SELECT rid AS cid, list_transform(v, x -> round(x, {cd})) AS c
+      FROM samp, cfg WHERE rid < cfg.k_cells
+    ),{rounds},
+    vb AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            round(list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)
+                  - 2 * list_dot_product(e.v, c.c), {dd}), c.cid) AS rn
+        FROM e CROSS JOIN {last} c
+      ) WHERE rn = 1
+    ),
+    qp AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT e.vec_id, c.cid, cfg.n_probe,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            round(list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)
+                  - 2 * list_dot_product(e.v, c.c), {dd}), c.cid) AS rn
+        FROM e CROSS JOIN {last} c CROSS JOIN cfg
+        WHERE e.vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= n_probe
+    ),
+    cand AS (
+      SELECT DISTINCT qp.query_id, vb.vec_id AS neighbor_id
+      FROM qp JOIN vb USING (cid)
+      WHERE qp.query_id != vb.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+        list_dot_product(qv.v, cv.v)
+          / (sqrt(list_dot_product(qv.v, qv.v))
+             * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+      FROM cand JOIN e qv ON qv.vec_id = cand.query_id
+                JOIN e cv ON cv.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, {ROUND_DIGITS}) AS sim
+    FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+@query("knn_ann_ivf", oracle=_ivf_oracle())
 def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate cosine top-k (KMeans coarse quantizer, √N cells,
-    40% probe fraction — SIM.ivf_params): the partition-pruned scale
-    path. Recall@10 vs the exact baseline asserted in
-    tests/test_similarity.py."""
+    """IVF approximate cosine top-k (deterministic Lloyd coarse
+    quantizer, √N cells, 40% probe fraction — SIM.ivf_params): the
+    partition-pruned scale path. Recall@10 vs the exact baseline is
+    asserted in tests/test_similarity.py, and since round 5 the FULL
+    result set hash-matches a DuckDB replay of the index — the RNG-free
+    quantizer training unrolls into a fixed Lloyd CTE chain (see
+    _ivf_oracle), the same unrolled-iteration pattern as the BPE
+    trainer, so this ANN query is no longer rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     n_clusters, n_probe, _ = SIM.ivf_params(emb.count())
@@ -313,7 +429,8 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@query("knn_ann_ivf_pq")  # rows-only: recall-gated in pytest + recall gate query
+@query("knn_ann_ivf_pq")  # the ONE remaining rows-only registry query:
+# recall-gated in pytest + the hash-matched knn_ann_recall_gate
 def knn_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate cosine top-k: IVF cells bound the candidate
     set, 8×16 product-quantized codes (32× compression at dim=64) bound
