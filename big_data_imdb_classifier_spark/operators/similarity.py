@@ -452,37 +452,38 @@ def cosine_pairs_blocked(
 # ---------------------------------------------------------------------------
 
 
+PQ_ITERS = 12
+
+
 def pq_train_codebooks(
     sample: np.ndarray, m: int = 8, n_codes: int = 16, seed: int = 42,
-    n_iter: int = 12,
+    n_iter: int = PQ_ITERS,
 ) -> np.ndarray:
-    """Train per-subspace codebooks with seeded Lloyd iterations over a
-    bounded driver-side sample (standard practice: FAISS trains PQ on
-    ~100k sampled vectors regardless of corpus size — training is O(sample),
-    never O(corpus)). Returns (m, n_codes, dim//m) float64."""
+    """Train per-subspace codebooks over a bounded driver-side sample
+    (standard practice: FAISS trains PQ on ~100k sampled vectors
+    regardless of corpus size — training is O(sample), never O(corpus)).
+    RNG-FREE since round 5 (``seed`` accepted for signature
+    compatibility, ignored): each subspace runs the same deterministic
+    Lloyd recipe as the coarse quantizer (first-rows init, rounded-
+    distance argmin, rounded per-round means), so the WHOLE IVF-PQ
+    search replays in SQL. Returns (m, n_codes, dim//m) float64."""
     n, dim = sample.shape
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    assert n >= n_codes, f"sample {n} smaller than n_codes {n_codes}"
     d_sub = dim // m
-    rng = np.random.default_rng(seed)
     books = np.empty((m, n_codes, d_sub), dtype=np.float64)
     for j in range(m):
         x = sample[:, j * d_sub : (j + 1) * d_sub]
-        centers = x[rng.choice(n, size=n_codes, replace=n < n_codes)].copy()
-        for _ in range(n_iter):
-            d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(n_codes):
-                mask = assign == c
-                if mask.any():
-                    centers[c] = x[mask].mean(axis=0)
-        books[j] = centers
+        books[j] = lloyd_centers_deterministic(x, n_codes, n_iter)
     return books
 
 
 def pq_encode_col(codebooks: np.ndarray, vec_col: str = "embedding"):
-    """Arrow-batched encoder: vector → m uint8-range codes (argmin
-    subspace distance). One matmul-shaped numpy pass per batch; the
-    codebooks ride the closure (m*n_codes*d_sub doubles — a few KB)."""
+    """Arrow-batched encoder: vector → m uint8-range codes (ROUNDED-
+    distance argmin per subspace, ties → lowest code — the same
+    cross-engine pinning as cell assignment). One matmul-shaped numpy
+    pass per batch; the codebooks ride the closure (m*n_codes*d_sub
+    doubles — a few KB)."""
     m, n_codes, d_sub = codebooks.shape
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -491,8 +492,7 @@ def pq_encode_col(codebooks: np.ndarray, vec_col: str = "embedding"):
         out = np.empty((x.shape[0], m), dtype=np.int32)
         for j in range(m):
             sub = x[:, j * d_sub : (j + 1) * d_sub]  # (B, d_sub)
-            d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
-            out[:, j] = d.argmin(axis=1)
+            out[:, j] = _sq_dists_rounded(sub, codebooks[j]).argmin(axis=1)
         return pd.Series(list(out))
 
     return encode(F.col(vec_col))
@@ -581,15 +581,17 @@ def knn_ivf_pq(
             # reconstruct candidates: gather each subspace's centroid
             offs = cm + (np.arange(m) * n_codes)[None, :]
             recon = flat_books[offs].reshape(len(pdf), -1)  # (B, dim)
+            # Same Σ-decomposition + rounding as the SQL oracle, so the
+            # shortlist ORDERING cannot flip on accumulation ulps.
             num = (qm * recon).sum(axis=1)
-            den = np.linalg.norm(qm, axis=1) * np.maximum(
-                np.linalg.norm(recon, axis=1), 1e-12
+            den = np.sqrt((qm * qm).sum(axis=1)) * np.maximum(
+                np.sqrt((recon * recon).sum(axis=1)), 1e-12
             )
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),
                     "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "adc_sim": num / den,
+                    "adc_sim": np.round(num / den, LLOYD_DIST_DIGITS),
                 }
             )
 

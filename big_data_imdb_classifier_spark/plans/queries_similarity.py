@@ -4,13 +4,15 @@ Exact cosine top-k carries a full DuckDB oracle (list_dot_product on
 DOUBLE[] matches the engine's sequential double accumulation to far
 below rounding tolerance). The hyperplane-LSH ANN variant is ALSO fully
 hash-matched — its hyperplanes are seeded plan literals, so the oracle
-replays the whole index in SQL (see _lsh_oracle). The IVF search is
-fully hash-matched too: its deterministic Lloyd coarse quantizer
-(RNG-free, SIM.lloyd_centers_deterministic) unrolls into a fixed SQL
-CTE chain (see _ivf_oracle). Only IVF-PQ remains rows-only (the PQ
-codebook training + ADC reconstruction would need the same unrolled
-treatment per subspace — diminishing returns); it is quality-gated by
-recall@k in pytest and by the hash-matched knn_ann_recall_gate.
+replays the whole index in SQL (see _lsh_oracle). The IVF and IVF-PQ
+searches are fully hash-matched too: the deterministic Lloyd quantizer
+(RNG-free, SIM.lloyd_centers_deterministic) unrolls into fixed SQL CTE
+chains for BOTH the coarse cells and the per-subspace PQ codebooks
+(see _ivf_oracle / _ivfpq_oracle), with ADC scores rounded identically
+on both engines so the shortlist cut is deterministic. Every
+similarity query — and with them the whole registry — carries a full
+value-hash oracle; the recall floors (pytest + knn_ann_recall_gate)
+remain as the INDEX-QUALITY gates on top.
 """
 
 from __future__ import annotations
@@ -250,9 +252,10 @@ def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes (hyperplane LSH, IVF, IVF-PQ) against the exact cosine
     top-k, computed in-query and asserted against their floors
     (LSH ≥ 0.85, IVF ≥ 0.5, IVF-PQ ≥ 0.5 — the same floors
-    tests/test_similarity.py enforces). The ANN result
-    sets themselves are engine-specific (rows-only queries above); this
-    gate makes an index-quality regression fail the hash compare, the
+    tests/test_similarity.py enforces). The ANN result sets themselves
+    are hash-matched since round 5; this gate stays as the
+    INDEX-QUALITY check (a hash oracle proves the engine computed its
+    own index faithfully, not that the index finds true neighbors), the
     same pattern as approx_distinct_parts. The recall join is a
     left_semi on (query, neighbor) over k·|queries| rows — negligible
     next to the searches themselves."""
@@ -326,17 +329,12 @@ def _lloyd_round_cte(r: int) -> str:
     )"""
 
 
-def _ivf_oracle() -> str:
-    """Full DuckDB oracle for the IVF ANN search: the deterministic
-    Lloyd coarse quantizer (RNG-free — strided sample init, fixed
-    LLOYD_ITERS rounds, per-round rounded means, rounded-distance
-    argmin) unrolls into a fixed CTE chain exactly like the BPE
-    trainer, then cell assignment / multi-probe / exact-cosine ranking
-    replay the search. Index sizing (√N cells, 40% probe) is computed
-    IN SQL from count(*) with the same floors as SIM.ivf_params.
-    Distances on both engines use the identical Σx²+Σc²−2x·c
-    decomposition rounded at LLOYD_DIST_DIGITS, so accumulation-order
-    ulps cannot flip an assignment."""
+def _ivf_coarse_prefix() -> str:
+    """Shared oracle prefix: index sizing IN SQL (same formulas/floors
+    as SIM.ivf_params), strided sample, the unrolled deterministic
+    Lloyd quantizer, corpus cell assignment (vb), query multi-probe
+    (qp), and the candidate set (cand). Both _ivf_oracle and
+    _ivfpq_oracle build on this verbatim."""
     cd, dd = SIM.LLOYD_CENTER_DIGITS, SIM.LLOYD_DIST_DIGITS
     rounds = ",".join(
         _lloyd_round_cte(r) for r in range(1, SIM.LLOYD_ITERS + 1)
@@ -348,6 +346,8 @@ def _ivf_oracle() -> str:
         GREATEST(16, CAST(floor(sqrt(n)) AS INT)) AS k_cells,
         GREATEST(4, CAST(round(0.4 * GREATEST(16,
           CAST(floor(sqrt(n)) AS INT))) AS INT)) AS n_probe,
+        GREATEST(8, GREATEST(16, CAST(floor(sqrt(n)) AS INT)) // 4)
+          AS refine,
         CAST(ceil(n / 10000.0) AS BIGINT) AS stride
       FROM (SELECT count(*)::BIGINT AS n FROM embeddings)
     ),
@@ -386,15 +386,10 @@ def _ivf_oracle() -> str:
       SELECT DISTINCT qp.query_id, vb.vec_id AS neighbor_id
       FROM qp JOIN vb USING (cid)
       WHERE qp.query_id != vb.vec_id
-    ),
-    sims AS (
-      SELECT query_id, neighbor_id,
-        list_dot_product(qv.v, cv.v)
-          / (sqrt(list_dot_product(qv.v, qv.v))
-             * sqrt(list_dot_product(cv.v, cv.v))) AS sim
-      FROM cand JOIN e qv ON qv.vec_id = cand.query_id
-                JOIN e cv ON cv.vec_id = cand.neighbor_id
-    ),
+    )"""
+
+
+_RANKED_TAIL = f"""
     ranked AS (
       SELECT query_id, neighbor_id, sim,
         row_number() OVER (PARTITION BY query_id
@@ -403,6 +398,130 @@ def _ivf_oracle() -> str:
     )
     SELECT query_id, neighbor_id, rank, round(sim, {ROUND_DIGITS}) AS sim
     FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+def _ivf_oracle() -> str:
+    """Full DuckDB oracle for the IVF ANN search: the deterministic
+    Lloyd coarse quantizer (RNG-free — strided sample init, fixed
+    LLOYD_ITERS rounds, per-round rounded means, rounded-distance
+    argmin) unrolls into a fixed CTE chain exactly like the BPE
+    trainer, then cell assignment / multi-probe / exact-cosine ranking
+    replay the search. Index sizing (√N cells, 40% probe) is computed
+    IN SQL from count(*) with the same floors as SIM.ivf_params.
+    Distances on both engines use the identical Σx²+Σc²−2x·c
+    decomposition rounded at LLOYD_DIST_DIGITS, so accumulation-order
+    ulps cannot flip an assignment."""
+    return f"""{_ivf_coarse_prefix()},
+    sims AS (
+      SELECT query_id, neighbor_id,
+        list_dot_product(qv.v, cv.v)
+          / (sqrt(list_dot_product(qv.v, qv.v))
+             * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+      FROM cand JOIN e qv ON qv.vec_id = cand.query_id
+                JOIN e cv ON cv.vec_id = cand.neighbor_id
+    ),{_RANKED_TAIL}"""
+
+
+def _pq_round_cte(r: int) -> str:
+    """One unrolled per-subspace Lloyd round for the PQ codebooks —
+    identical recipe to _lloyd_round_cte but keyed by (subspace j,
+    code) over the sample's sub-vectors."""
+    cd, dd = SIM.LLOYD_CENTER_DIGITS, SIM.LLOYD_DIST_DIGITS
+    return f"""
+    pasg{r} AS MATERIALIZED (
+      SELECT rid, j, x, code FROM (
+        SELECT p.rid, p.j, p.x, b.code,
+          row_number() OVER (PARTITION BY p.rid, p.j ORDER BY
+            round(list_dot_product(p.x, p.x) + list_dot_product(b.c, b.c)
+                  - 2 * list_dot_product(p.x, b.c), {dd}), b.code) AS rn
+        FROM px p JOIN b{r - 1} b USING (j)
+      ) WHERE rn = 1
+    ),
+    pmd{r} AS (
+      SELECT j, code, pos, round(avg(x[pos]), {cd}) AS cv
+      FROM pasg{r}, unnest(generate_series(1, len(x))) AS pt{r}(pos)
+      GROUP BY j, code, pos
+    ),
+    pml{r} AS (
+      SELECT j, code, list(cv ORDER BY pos) AS c
+      FROM pmd{r} GROUP BY j, code
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT p.j, p.code, coalesce(q{r}.c, p.c) AS c
+      FROM b{r - 1} p LEFT JOIN pml{r} q{r} USING (j, code)
+    )"""
+
+
+def _ivfpq_oracle(m: int = 8, n_codes: int = 16) -> str:
+    """Full DuckDB oracle for the IVF-PQ search — the coarse prefix
+    plus: per-subspace deterministic Lloyd codebook training (PQ_ITERS
+    unrolled rounds over the SAME strided sample, all m subspaces as
+    data in one chain), candidate encoding (rounded-distance argmin per
+    subspace), reconstruction (codebook gather + flatten), ADC scoring
+    rounded at LLOYD_DIST_DIGITS (mirrored in the engine's Arrow adc —
+    so the k·refine shortlist CUT is deterministic cross-engine), and
+    the exact-cosine re-rank of the shortlist."""
+    cd, dd = SIM.LLOYD_CENTER_DIGITS, SIM.LLOYD_DIST_DIGITS
+    rounds = ",".join(_pq_round_cte(r) for r in range(1, SIM.PQ_ITERS + 1))
+    bl = f"b{SIM.PQ_ITERS}"
+    return f"""{_ivf_coarse_prefix()},
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+    px AS MATERIALIZED (
+      SELECT s.rid, subs.j,
+        list_slice(s.v, subs.j * (len(s.v) // {m}) + 1,
+                   (subs.j + 1) * (len(s.v) // {m})) AS x
+      FROM samp s CROSS JOIN subs
+    ),
+    b0 AS MATERIALIZED (
+      SELECT j, rid AS code, list_transform(x, v -> round(v, {cd})) AS c
+      FROM px WHERE rid < {n_codes}
+    ),{rounds},
+    cx AS MATERIALIZED (
+      SELECT n.neighbor_id AS vec_id, subs.j,
+        list_slice(e.v, subs.j * (len(e.v) // {m}) + 1,
+                   (subs.j + 1) * (len(e.v) // {m})) AS x
+      FROM (SELECT DISTINCT neighbor_id FROM cand) n
+      JOIN e ON e.vec_id = n.neighbor_id CROSS JOIN subs
+    ),
+    ecodes AS MATERIALIZED (
+      SELECT vec_id, j, code FROM (
+        SELECT cx.vec_id, cx.j, b.code,
+          row_number() OVER (PARTITION BY cx.vec_id, cx.j ORDER BY
+            round(list_dot_product(cx.x, cx.x) + list_dot_product(b.c, b.c)
+                  - 2 * list_dot_product(cx.x, b.c), {dd}), b.code) AS rn
+        FROM cx JOIN {bl} b ON b.j = cx.j
+      ) WHERE rn = 1
+    ),
+    recon AS MATERIALIZED (
+      SELECT ec.vec_id, flatten(list(b.c ORDER BY ec.j)) AS rv
+      FROM ecodes ec JOIN {bl} b ON b.j = ec.j AND b.code = ec.code
+      GROUP BY ec.vec_id
+    ),
+    adcs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        round(list_dot_product(q.v, r.rv)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * GREATEST(sqrt(list_dot_product(r.rv, r.rv)), 1e-12)),
+              {dd}) AS adc_sim
+      FROM cand JOIN e q ON q.vec_id = cand.query_id
+                JOIN recon r ON r.vec_id = cand.neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, a.neighbor_id, cfg.refine,
+          row_number() OVER (PARTITION BY a.query_id
+                             ORDER BY a.adc_sim DESC, a.neighbor_id) AS rn
+        FROM adcs a CROSS JOIN cfg
+      ) WHERE rn <= {TOP_K} * refine
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+        list_dot_product(qv.v, cv.v)
+          / (sqrt(list_dot_product(qv.v, qv.v))
+             * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+      FROM short JOIN e qv ON qv.vec_id = short.query_id
+                 JOIN e cv ON cv.vec_id = short.neighbor_id
+    ),{_RANKED_TAIL}"""
 
 
 @query("knn_ann_ivf", oracle=_ivf_oracle())
@@ -429,16 +548,19 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@query("knn_ann_ivf_pq")  # the ONE remaining rows-only registry query:
-# recall-gated in pytest + the hash-matched knn_ann_recall_gate
+@query("knn_ann_ivf_pq", oracle=_ivfpq_oracle())
 def knn_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate cosine top-k: IVF cells bound the candidate
     set, 8×16 product-quantized codes (32× compression at dim=64) bound
-    the per-candidate cost, exact cosine re-ranks a k*4 shortlist — the
-    memory-scale ANN path where full float vectors can't be re-read per
-    search. Recall@10 vs the exact baseline asserted in
+    the per-candidate cost, exact cosine re-ranks a k·refine shortlist —
+    the memory-scale ANN path where full float vectors can't be re-read
+    per search. Recall@10 vs the exact baseline asserted in
     tests/test_similarity.py and in the oracle-pinned recall gate.
-    Index sized by SIM.ivf_params (√N cells, 40% probe, √N-scaled re-rank budget)."""
+    Index sized by SIM.ivf_params (√N cells, 40% probe, √N-scaled
+    re-rank budget). Since round 5 the FULL result set hash-matches a
+    DuckDB replay (see _ivfpq_oracle: unrolled Lloyd for both the
+    coarse quantizer AND the per-subspace codebooks, rounded ADC) —
+    the registry has ZERO rows-only queries left."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     n_clusters, n_probe, refine = SIM.ivf_params(emb.count())
