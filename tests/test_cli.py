@@ -20,10 +20,17 @@ def test_list_filters_by_prefix(capsys):
     assert all(line.startswith("tpch_") and "[oracle]" in line for line in out)
 
 
-def test_list_all_includes_rows_only_tag(capsys):
+def test_list_all_oracle_pinned(capsys):
+    """Since round 5 EVERY registry query carries a DuckDB value-hash
+    oracle — the listing must show zero [rows-only] tags, and exactly
+    one [oracle] tag per registered query."""
+    from big_data_imdb_classifier_spark import plans
+
+    plans.load_all()
     assert main(["list"]) == 0
     out = capsys.readouterr().out
-    assert "[rows-only]" in out and "[oracle]" in out
+    assert "[rows-only]" not in out
+    assert out.count("[oracle]") == len(plans.QUERIES)
 
 
 def test_unknown_query_exits_2_with_close_matches(caplog):
