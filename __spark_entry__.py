@@ -33,5 +33,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only)."""
+    """DuckDB-runnable ANSI SQL oracle per query — since round 5 every
+    registered query has one (zero rows-only entries)."""
     return dict(plans.ORACLES)
