@@ -478,3 +478,160 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- DSIR-style data selection ---------------------------------------------
+_DSIR_B = 1024  # hashed bigram feature buckets
+_DSIR_TARGET = ("src1", "src2", "src3")  # the target-domain slice
+_DSIR_K = 50  # raw documents to select
+_DSIR_LR_R = 8  # round the per-bucket log-ratio table (FP pinning)
+_DSIR_W_R = 6  # round per-doc sums / scores
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+
+@query(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, source,
+        CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT)
+          % {_DSIR_B} AS b
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    cnt AS (
+      SELECT b,
+        sum(CASE WHEN source IN ({_DSIR_TARGET_SQL})
+            THEN 1 ELSE 0 END)::BIGINT AS ct,
+        sum(CASE WHEN source NOT IN ({_DSIR_TARGET_SQL})
+            THEN 1 ELSE 0 END)::BIGINT AS cr
+      FROM bk GROUP BY b
+    ),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+    ratio AS (
+      SELECT b,
+        round(ln((ct + 1.0) / (nt + {_DSIR_B}))
+              - ln((cr + 1.0) / (nr + {_DSIR_B})), {_DSIR_LR_R}) AS lr
+      FROM cnt, tot
+    ),
+    docw AS (
+      SELECT bk.doc_id, any_value(bk.source) AS source,
+             round(sum(lr), {_DSIR_W_R}) AS log_w
+      FROM bk JOIN ratio USING (b)
+      WHERE bk.source NOT IN ({_DSIR_TARGET_SQL})
+      GROUP BY bk.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, source, log_w,
+        round(log_w + -ln(-ln(
+          (CAST(('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))
+                AS BIGINT) + 0.5) / 4294967296.0)), {_DSIR_W_R}) AS score
+      FROM docw
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+           doc_id, source, log_w, score
+    FROM scored ORDER BY score DESC, doc_id LIMIT {_DSIR_K}
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-STYLE DATA SELECTION (Xie et al. 2023, arXiv:2302.03169):
+    pick the raw-pool documents whose hashed-n-gram distribution looks
+    most like a target domain, by importance resampling —
+
+    1. every word bigram hashes into one of B=1024 feature buckets
+       (md5, the engine's cross-engine hash convention), so the feature
+       space is BOUNDED regardless of corpus vocabulary — the property
+       that makes this a 100 TB-shaped selector (two B-row aggregates,
+       never a vocab-sized shuffle);
+    2. per bucket, add-one-smoothed log( p_target / p_raw ) — a 1024-row
+       broadcast table (rounded at 1e-8 so JVM-vs-C ln ulps can't move
+       a doc sum);
+    3. each raw doc's importance log-weight is the sum of its bigram
+       occurrences' log-ratios (one corpus-sized join against the
+       broadcast table + one doc-keyed reduce);
+    4. GUMBEL-TOP-K resampling: score = log_w + Gumbel(0,1) drawn from
+       an md5-derived uniform per doc (RNG-free — the sample_by_hash
+       convention), top 50 by (score, doc_id). Equivalent to
+       sampling without replacement proportionally to softmax(log_w) —
+       the distributional selection the DSIR paper uses rather than a
+       deterministic top-k cut.
+
+    Target domain = sources src1/src2/src3; the pool is every other
+    source. Pure JVM column expressions end-to-end; hash-matched
+    against the identical derivation in SQL."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = TX.repartition_for_cpu(docs, "doc_id")
+    toks = docs.select("doc_id", "source", TX.tokens_col("text").alias("t"))
+    bigrams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    bk = bigrams.select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
+            F.lit(_DSIR_B),
+        ).alias("b"),
+    )
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+    cnt = bk.groupBy("b").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).alias("cr"),
+    )
+    tot = cnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    ratio = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_B)),
+            _DSIR_LR_R,
+        ).alias("lr"),
+    )
+    docw = (
+        bk.where(~is_target)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.round(F.sum("lr"), _DSIR_W_R).alias("log_w"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    scored = docw.select(
+        "doc_id",
+        "source",
+        "log_w",
+        F.round(F.col("log_w") + -F.log(-F.log(u)), _DSIR_W_R).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _DSIR_K)
+        .select("rank", "doc_id", "source", "log_w", "score")
+        .orderBy("rank")
+    )

@@ -52,6 +52,8 @@ CROSS_WHITELIST = {
     # ≤18-row rank-probe broadcast range join of the distributed-exact
     # quantile machinery (BroadcastNestedLoop over a constant-size side)
     "quality_unigram_surprisal",    # single-row LM-total + 2-sigma-cut broadcasts
+    "dsir_importance_select",       # single-row (n_target, n_raw) totals
+    # crossJoin onto the 1024-row bucket table — constant-size both sides
     "user_rfm_segments",            # 1-row corpus-max + tercile-cut broadcasts
     # group_quantiles rank-probe: a |groups|×2·|pcts|-row broadcast range
     # join (BroadcastNestedLoop over a constant-size side) — the price of

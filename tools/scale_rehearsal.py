@@ -186,6 +186,7 @@ TEXT_QUERIES = [
     "heavy_hitters_mg_tokens",
     "bpe_merge1_gate",
     "text_length_quantile_normalize",
+    "dsir_importance_select",
     # bpe_apply_compression is EXCLUDED by design: its greedy fold costs
     # O(word_len^2) array copies PER WORD (documented in bpe_segment_col)
     # and the fabricated corpus lengthens every token with a replica tag,
@@ -244,6 +245,7 @@ BYTE_SENSITIVE = {
     "corpus_curation_e2e",      # fingerprint+minhash stages inside
     "text_entropy_kl_by_source",  # per-character distribution
     "bpe_merge1_gate",          # char-pair explode per distinct word
+    "dsir_importance_select",   # per-occurrence bigram-string hashing
 }
 
 
