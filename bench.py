@@ -1,11 +1,19 @@
 """Benchmark harness (driver contract).
 
 Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints TWO
+JSON lines: a full detail record (per-query execution AND construction
+series), then a FINAL compact line sized to fit entirely inside the
+driver's 2,000-char stdout tail window::
 
     {"metric": "headline_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": sec, ...}, "sf": 0.1, ...}
+
+Round-6 protocol fix: round 5's single line doubled past the tail
+window when the construction dict was added and the driver recorded
+``parsed: null``. The compact line carries the headline value plus the
+per-query TOTALS only (no split dicts), so the tail always ends with
+one parseable record.
 
 Execution is forced with the ``noop`` sink (full plan runs distributed,
 nothing is collected to the driver) so timings measure the engine, not
@@ -34,13 +42,19 @@ uniform phantom drift on unchanged plans caused by background load):
   measurement sees; the GC levels heap state across sweep positions.
   Timings therefore measure the steady-state engine, matching how a
   long-lived 100 TB cluster session actually runs.
-- CONSTRUCTION MEASURED SEPARATELY (round-5): queries with
-  driver-coordinated build-time work (BPE training rounds, the recall
-  gate's eager searches, eager statistic checkpoints) do real cluster
-  work before their terminal action. That cost is recorded per query
-  under ``construction`` — visible in the artifact, auditable, but NOT
-  folded into ``queries``, whose execution-only values stay comparable
-  with every previous round's ledger.
+- CONSTRUCTION COUNTED IN THE HEADLINE (round-6, per driver advice):
+  queries with driver-coordinated build-time work (BPE training
+  rounds, the recall gate's eager searches, eager statistic
+  checkpoints) do real cluster work before their terminal action.
+  Round 5 measured that cost but kept it OUT of the headline, which
+  let a plan rewrite shift work from the gated execution series into
+  the ungated construction series. From round 6 each ``queries`` value
+  is construction+execution (median of per-rep totals) and the
+  headline sums those totals; ``execution`` / ``construction`` remain
+  as split secondary series in the detail record. NOTE on
+  comparability: r1–r4 values timed everything but never isolated or
+  split construction; r5 values are execution-only. Cross-round
+  comparisons must respect the protocol epochs tagged in BENCHLOG.md.
 """
 
 from __future__ import annotations
@@ -145,12 +159,10 @@ def main() -> None:
         # driver-coordinated build-time work (BPE training's per-round
         # argmax, the ANN recall gate's eager searches, eagerly
         # checkpointed statistic frames) do real cluster work before the
-        # final action — an execution-only ledger would let that work
-        # hide entirely (round-5 hardening; previously construction was
-        # never measured). Both numbers are recorded: ``queries`` stays
-        # execution-only so per-query values remain comparable with
-        # every previous round's ledger, and ``construction`` carries
-        # the build-time cost next to it.
+        # final action. Both series are recorded, and the gated
+        # per-query value is their SUM — an execution-only gate would
+        # let a plan rewrite hide work by eager-checkpointing heavy
+        # stages into the ungated series (round-6 fix, driver advice).
         t0 = time.perf_counter()
         df = plans.QUERIES[name](spark, sf_dir)
         t1 = time.perf_counter()
@@ -192,6 +204,7 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    execution: dict[str, float] = {}
     construction: dict[str, float] = {}
     for n in names:
         try:
@@ -204,31 +217,56 @@ def main() -> None:
             samples = [run(n, SF_DIR) for _ in range(reps)]
             execs = sorted(s[1] for s in samples)
             builds = sorted(s[0] for s in samples)
-            timings[n] = round(execs[len(execs) // 2], 3)
+            totals = sorted(s[0] + s[1] for s in samples)
+            # Gated value = construction + execution (median of per-rep
+            # totals): work cannot migrate out of the gate by moving
+            # between the two phases (round-6, driver advice).
+            timings[n] = round(totals[len(totals) // 2], 3)
+            execution[n] = round(execs[len(execs) // 2], 3)
             construction[n] = round(builds[len(builds) // 2], 3)
         except Exception as e:  # keep emitting numbers even if one breaks
             print(f"bench: {n} failed: {e}", file=sys.stderr)
 
-    result = {
-        "metric": "headline_wall_sec",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        # Driver-side build-time cost per query (plan construction plus
-        # any eager checkpoints / iterative collects a query does before
-        # its terminal action), kept SEPARATE so ``queries`` stays
-        # comparable with previous rounds' execution-only ledgers while
-        # nothing hides outside the artifact.
-        "construction": construction,
-        "construction_total": round(sum(construction.values()), 3),
+    meta = {
         "sf": _sf_from_dir(SF_DIR),
         "reps": reps,
         "stat": "median",
+        "protocol": "r6-total",  # construction+execution per query
         "idle_gate_ok": idle_ok,
         "load_1m_start": load_start,
         "load_1m_end": _load_1m(),
     }
-    print(json.dumps(result))
+    detail = {
+        "metric": "headline_wall_sec_detail",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        # Split secondary series: where each query's total comes from.
+        "execution": execution,
+        "execution_total": round(sum(execution.values()), 3),
+        "construction": construction,
+        "construction_total": round(sum(construction.values()), 3),
+        **meta,
+    }
+    print(json.dumps(detail))
+    # FINAL compact line — the driver captures a bounded stdout tail, so
+    # the LAST line must be a complete parseable record on its own (r5's
+    # single fat line overflowed the window and parsed as null). Totals
+    # only, no split dicts: ~1.3 kB at 35 headline queries.
+    compact = {
+        "metric": "headline_wall_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "execution_total": detail["execution_total"],
+        "construction_total": detail["construction_total"],
+        **meta,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never let the tail window truncate the record
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -201,8 +201,18 @@ def ivf_params(n_vectors: int) -> tuple[int, int, int]:
 # Deterministic Lloyd quantizer constants, shared VERBATIM with the
 # DuckDB oracle (plans/queries_similarity._ivf_oracle): per-round means
 # and pre-argmin distances are rounded so numpy-vs-SQL accumulation ulps
-# cannot flip an assignment (the CUSUM/Welch intermediate-rounding
-# pattern applied to clustering).
+# are overwhelmingly unlikely to flip an assignment. RESIDUAL RISK,
+# quantified (same honesty convention as _lsh_oracle): the rounding is
+# applied AFTER accumulation — numpy BLAS reduces pairwise, DuckDB's
+# list_dot_product sequentially — so two pre-round values within ~1 ulp
+# of each other CAN straddle a 1e-9 grid boundary. With ~dim ulp-scale
+# accumulation error on O(1)-magnitude sums, the per-comparison straddle
+# probability is ~1e-7; across the ~1e7 rounded distances of a full
+# quantizer+codebook training a single flip is plausible on a different
+# corpus or BLAS build, and one flipped argmin cascades through all
+# later Lloyd rounds and fails the hash gate. A flaky IVF/IVF-PQ hash
+# failure on a new corpus/BLAS should be diagnosed as this known
+# FP-boundary case, not engine nondeterminism.
 LLOYD_ITERS = 5
 LLOYD_CENTER_DIGITS = 6
 LLOYD_DIST_DIGITS = 9

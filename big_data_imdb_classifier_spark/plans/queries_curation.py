@@ -567,6 +567,11 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         docs = TX.repartition_for_cpu(docs, "doc_id")
     toks = docs.select("doc_id", "source", TX.tokens_col("text").alias("t"))
+    # GUARD <2-token docs: sequence(1, 0) yields a DESCENDING [1, 0] and
+    # element_at(t, 0) raises at runtime, while the oracle's
+    # generate_series(1, 0) is simply empty — filter to match (same
+    # pattern as the BPE operator's `size('seg') >= 2` guard).
+    toks = toks.where(F.size("t") >= 2)
     bigrams = toks.select(
         "doc_id",
         "source",

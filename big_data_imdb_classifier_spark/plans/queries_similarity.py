@@ -409,8 +409,11 @@ def _ivf_oracle() -> str:
     replay the search. Index sizing (√N cells, 40% probe) is computed
     IN SQL from count(*) with the same floors as SIM.ivf_params.
     Distances on both engines use the identical Σx²+Σc²−2x·c
-    decomposition rounded at LLOYD_DIST_DIGITS, so accumulation-order
-    ulps cannot flip an assignment."""
+    decomposition rounded at LLOYD_DIST_DIGITS, which makes an
+    accumulation-order ulp flip overwhelmingly unlikely but not
+    impossible — the pin is probabilistic; see the residual-risk note
+    at operators/similarity.py LLOYD_* constants for the quantified
+    straddle probability and how to diagnose a flaky failure."""
     return f"""{_ivf_coarse_prefix()},
     sims AS (
       SELECT query_id, neighbor_id,
