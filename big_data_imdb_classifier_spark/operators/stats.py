@@ -131,7 +131,9 @@ def group_quantiles(
     pcts: list[float],
     weight_col: str | None = None,
     assume_distinct: bool = False,
-) -> DataFrame:
+    enum_keys: bool = False,
+    return_domain: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Exact interpolated quantiles of ``val_col`` per ``keys`` group
     (global when ``keys`` is empty), computed distributively.
 
@@ -155,9 +157,33 @@ def group_quantiles(
     to millions of groups; beyond that, drop the broadcast hint and let
     the planner sort-merge on the equi-key part of the condition (the
     range part becomes the join filter).
+
+    ``enum_keys=True`` selects the BOUNDED-KEY fast path (round 6): the
+    caller guarantees the key domain is a small enum (≤16 groups — a
+    flag column, not an id). The per-(key, partition) offset frame and
+    the per-key totals are then |groups|·nparts rows — the operator
+    collects them (the same bounded-collect class as the BPE argmax)
+    and re-enters them as literal expressions, turning two
+    broadcast-join lineages per pass into a projection + a
+    LocalRelation probe, and riding the dedup aggregation on the range
+    exchange itself. Same results bit-for-bit (driver floor/ceil/frac
+    arithmetic is the identical IEEE-754 double math the SQL
+    expressions performed); ~half the scheduled stages per pass —
+    this path exists because quantile passes on enum keys are
+    stage-latency-bound, not data-bound, at every scale.
     """
     if not pcts:
         raise ValueError("group_quantiles: pcts must be non-empty")
+    if return_domain and not enum_keys:
+        raise ValueError(
+            "group_quantiles: return_domain requires enum_keys=True "
+            "(the domain is only materialized on the bounded-key path)"
+        )
+    if enum_keys:
+        return _group_quantiles_enum(
+            df, keys, val_col, pcts, weight_col, assume_distinct,
+            return_domain=return_domain,
+        )
     spark = df.sparkSession
     dummy = not keys
     if dummy:
@@ -258,6 +284,187 @@ def group_quantiles(
     )
     if dummy:
         out = out.drop("_gq_key")
+    return out
+
+
+_ENUM_MAX_GROUPS = 16
+
+
+def _group_quantiles_enum(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    pcts: list[float],
+    weight_col: str | None,
+    assume_distinct: bool,
+    return_domain: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Bounded-key fast path of ``group_quantiles`` — see its docstring.
+
+    Stage shape per pass: ONE range exchange (the dedup aggregation
+    rides it — RangePartitioning satisfies the aggregate's clustering
+    requirement, verified by plan test), one window, an eager
+    localCheckpoint, then a bounded offsets/totals collect and a
+    LocalRelation rank probe over the cached blocks. NULL-key groups
+    are dropped exactly like the general path (its probe join uses
+    ``=``); the offset attach here uses null-safe equality so such rows
+    don't poison the cumsum before being dropped.
+
+    NULL VALUES ride along with rank-weight 0: they never match a rank
+    probe (their cum interval is empty), so quantiles are identical to
+    the general path's filtered ones — but they STAY in the
+    materialized domain, so a ``return_domain=True`` caller gets the
+    complete (keys, _v, _c) multiset (NULLs included) for follow-up
+    statistics (denominators that must count NULLs, deviation passes,
+    outlier cuts) without ever rescanning or re-shuffling the corpus.
+    """
+    import math
+
+    spark = df.sparkSession
+    dummy = not keys
+    if dummy:
+        df = df.withColumn("_gq_key", F.lit(0))
+        keys = ["_gq_key"]
+    kcols = [F.col(k) for k in keys]
+    key_fields = [df.schema[k] for k in keys]
+
+    nparts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    raw = df.select(
+        *kcols,
+        F.col(val_col).alias("_v"),
+        (F.col(weight_col) if weight_col else F.lit(1)).alias("_c"),
+    )
+    d = raw.repartitionByRange(nparts, *keys, "_v")
+    if not assume_distinct:
+        # Duplicate (keys, _v) rows co-locate under the range exchange,
+        # so this aggregation adds NO further shuffle.
+        d = d.groupBy(*keys, "_v").agg(F.sum("_c").alias("_c"))
+    d = (
+        d.withColumn(
+            "_cr", F.when(F.col("_v").isNotNull(), F.col("_c")).otherwise(0)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_loc",
+            F.sum("_cr").over(
+                Window.partitionBy(*keys, "_pid").orderBy("_v")
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    ptot = d.groupBy(*keys, "_pid").agg(F.sum("_cr").alias("_pt")).collect()
+    groups = {tuple(r[k] for k in keys) for r in ptot}
+    if len(groups) > _ENUM_MAX_GROUPS:
+        raise ValueError(
+            f"group_quantiles(enum_keys=True): {len(groups)} groups "
+            f"exceed the bounded-enum cap {_ENUM_MAX_GROUPS}; use the "
+            "distributed path for unbounded keys"
+        )
+    offsets: dict = {}
+    totals: dict = {}
+    for kt in groups:
+        run = 0
+        for pid, pt in sorted(
+            (r["_pid"], r["_pt"])
+            for r in ptot
+            if tuple(r[k] for k in keys) == kt
+        ):
+            offsets[kt + (pid,)] = run
+            run += pt
+        totals[kt] = run
+
+    # Offset attach as a CONSTANT-FOLDED literal-array lookup indexed by
+    # group_idx·nparts + pid, replacing the broadcast ofs join. (A
+    # per-(key, pid) CASE chain was tried first and measured ~2× SLOWER
+    # than the join it replaced: ~100 branches exceed codegen limits and
+    # evaluate interpreted, per row, twice — via _cum and _cum_prev. An
+    # array of literals folds to one Literal; the only per-row work is a
+    # ≤16-branch group-index CASE and an element_at.)
+    group_list = sorted(groups, key=lambda kt: tuple(map(str, kt)))
+    gidx = {kt: i for i, kt in enumerate(group_list)}
+    flat = [0] * (len(group_list) * nparts)
+    for kt_pid, off in offsets.items():
+        flat[gidx[kt_pid[:-1]] * nparts + kt_pid[-1]] = int(off)
+    gidx_col = F.when(F.lit(False), F.lit(None).cast("int"))
+    for kt, i in gidx.items():
+        cond = F.lit(True)
+        for k, kv in zip(keys, kt):
+            cond = cond & F.col(k).eqNullSafe(F.lit(kv))
+        gidx_col = gidx_col.when(cond, F.lit(i))
+    ofs_col = F.element_at(
+        F.array(*[F.lit(v) for v in flat]).cast("array<long>"),
+        gidx_col * nparts + F.col("_pid") + 1,
+    )
+    d = d.withColumn("_cum", F.col("_loc") + ofs_col).withColumn(
+        "_cum_prev", F.col("_cum") - F.col("_cr")
+    )
+
+    # Rank probes from driver arithmetic — IDENTICAL IEEE-754 doubles to
+    # the SQL floor/ceil/frac expressions of the general path.
+    probe_rows = []
+    for kt, n in totals.items():
+        for i, p in enumerate(pcts):
+            h = (n - 1) * float(p)
+            probe_rows.append(
+                kt + (i, h - math.floor(h), int(math.floor(h)), "lo")
+            )
+            probe_rows.append(
+                kt + (i, h - math.floor(h), int(math.ceil(h)), "hi")
+            )
+    from pyspark.sql import types as T
+
+    probe_schema = T.StructType(
+        list(key_fields)
+        + [
+            T.StructField("_i", T.IntegerType()),
+            T.StructField("_frac", T.DoubleType()),
+            T.StructField("_k", T.LongType()),
+            T.StructField("_side", T.StringType()),
+        ]
+    )
+    ranks = spark.createDataFrame(probe_rows, probe_schema)
+    d_a, ranks_a = d.alias("_gqv"), ranks.alias("_gqr")
+    cond = _and_all(
+        [F.col(f"_gqv.{k}") == F.col(f"_gqr.{k}") for k in keys]
+        + [
+            F.col("_gqr._k") >= F.col("_gqv._cum_prev"),
+            F.col("_gqr._k") < F.col("_gqv._cum"),
+        ]
+    )
+    hit = d_a.join(F.broadcast(ranks_a), cond).select(
+        *[F.col(f"_gqv.{k}") for k in keys], "_v", "_i", "_frac", "_side"
+    )
+    per_pct = hit.groupBy(*keys, "_i", "_frac").agg(
+        F.max(F.when(F.col("_side") == "lo", F.col("_v"))).alias("_vlo"),
+        F.max(F.when(F.col("_side") == "hi", F.col("_v"))).alias("_vhi"),
+    )
+    out = (
+        per_pct.select(
+            *keys,
+            "_i",
+            (
+                F.col("_vlo")
+                + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))
+            ).alias("_edge"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_edge"))),
+                lambda t: t._edge,
+            ).alias("q")
+        )
+    )
+    if dummy:
+        out = out.drop("_gq_key")
+    if return_domain:
+        domain = d.select(*keys, "_v", "_c")
+        if dummy:
+            domain = domain.drop("_gq_key")
+        return out, domain
     return out
 
 

@@ -617,7 +617,11 @@ def bpe_train_merges(
     n_merges: int,
     word_col: str = "word",
     count_col: str = "n",
-) -> list[tuple[int, str, str, str, int]]:
+    return_segmentation: bool = False,
+) -> (
+    list[tuple[int, str, str, str, int]]
+    | tuple[list[tuple[int, str, str, str, int]], DataFrame]
+):
     """DISTRIBUTED BPE TOKENIZER TRAINING (Sennrich et al. 2016,
     arXiv:1508.07909): learn ``n_merges`` merge rules from a
     (word, count) vocabulary — the tokenizer-fitting step of an LLM
@@ -641,6 +645,13 @@ def bpe_train_merges(
     distinct-word frame.
 
     Returns [(rank, left, right, merged, pair_count)], rank 1-based.
+    With ``return_segmentation=True`` also returns the FINAL
+    (w, c, seg) distinct-word segmentation frame (eagerly
+    localCheckpointed — consumers read cached blocks, they do not
+    replay training). Training already pays for this frame round by
+    round, so corpus-wide apply statistics (symbols per word × word
+    occurrence counts) can reuse it instead of re-folding every
+    document through the merge table.
     """
     seg = words.select(
         F.col(word_col).alias("w"),
@@ -691,6 +702,8 @@ def bpe_train_merges(
         seg = seg.select("w", "c", folded.alias("seg")).localCheckpoint(
             eager=True
         )
+    if return_segmentation:
+        return merges, seg
     return merges
 
 

@@ -507,78 +507,104 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs 0%). The data-quality screen a curation pipeline runs on numeric
     columns before imputation picks fill values.
 
-    ONE corpus scan (round-5 plan): the fact table reduces once to the
-    distinct ``(flag, price, count)`` domain, and every subsequent stage
-    is arithmetic on THAT frame — the deviation median's inputs are
-    ``(flag, |price − med|, count)`` (a projection of the domain, no
-    rescan), and the outlier cut itself is a weighted count over the
-    same rows (``Σ count WHERE |price − med| > 3·k·MAD``). Both medians
-    run through the DISTRIBUTED order-statistics operator
-    (``operators.stats.group_quantiles``, the second pass via its
-    ``weight_col`` pre-aggregated entry point) — the builtin
-    ``F.percentile`` aggregate would buffer a third of the fact table
-    per flag on one reducer (see stats_percentiles_by_flag). The
-    distinct domain is eagerly localCheckpointed (it feeds three
-    consumers), as are the 3-row ``med``/``mad`` statistic frames —
-    without materialization each consumer re-executes the full upstream
-    lineage. Local wall is ~flat vs the r4 three-scan shape (5.7 s vs
-    4.96 s isolated at sf0.1 — phase-profiled: each distributed median
-    pass is ~2.5 s of FIXED stage overhead on the 594k-value domain, 15
-    short AQE stages, not data-proportional work); the plan is chosen
-    for the 100 TB shape, where two of three full corpus scans simply
-    vanish and the checkpointed domain is the only re-read."""
+    ONE corpus scan, one corpus shuffle (round-6 plan, r5 verdict ask
+    #5): the first median pass's range exchange dedups the fact table
+    into the distinct ``(flag, price, count)`` domain itself
+    (``group_quantiles(enum_keys=True, return_domain=True)`` — the
+    aggregation rides the range partitioning, plan-tested), and every
+    subsequent stage is arithmetic on the returned checkpointed domain:
+    the deviation median's inputs are ``(flag, |price − med|, count)``
+    (a projection, no rescan) and the outlier cut is a weighted count
+    over the same rows. Both medians run through the DISTRIBUTED
+    order-statistics operator — the builtin ``F.percentile`` aggregate
+    would buffer a third of the fact table per flag on one reducer
+    (see stats_percentiles_by_flag). NULL prices stay in the domain
+    with rank-weight zero so the final denominator counts them,
+    exactly like the oracle's ``count(*)``.
+
+    Stage-count cut vs the r5 shape (5.3 → ~3.5 s local total): the
+    ``med``/``mad`` statistic frames are COLLECTED to the driver — one
+    row per ``l_returnflag``, a 3-value enum, the same bounded-collect
+    class as the BPE per-round argmax — and re-enter the plan as
+    literal CASE expressions, removing two eager checkpoints and three
+    broadcast exchanges from a query that is stage-latency-bound
+    locally (each scheduled job ≈0.5 s on a 594k-value domain;
+    data-proportional work is a fraction of that). For an UNBOUNDED
+    group key, keep the statistic frames distributed and
+    broadcast-join them (the r5 shape); with a bounded enum key the
+    driver round-trip is strictly cheaper at every scale."""
     from ..operators.stats import group_quantiles
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    # NULL prices stay in the domain: group_quantiles drops them itself
-    # (quantile_cont semantics) but the final denominator must count
+    # ONE corpus scan total: the first quantile pass's range exchange
+    # performs the dedup itself (enum path) and hands back the
+    # materialized (flag, price, count) domain — NULL prices included
+    # with rank-weight 0, because the final denominator must count
     # them, exactly like the oracle's count(*).
-    vc = (
-        li.groupBy("l_returnflag", "l_extendedprice")
-        .agg(F.count("*").alias("_n"))
-        .localCheckpoint(eager=True)
+    med_df, vc = group_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5],
+        # l_returnflag is a 3-value enum — bounded-key fast path
+        enum_keys=True,
+        return_domain=True,
     )
-    med = (
-        group_quantiles(
-            vc,
-            ["l_returnflag"],
-            "l_extendedprice",
-            [0.5],
-            weight_col="_n",
-            # (flag, price) is unique by construction of vc — skip the
-            # operator's internal dedup shuffle
-            assume_distinct=True,
+    med_map = {
+        r["l_returnflag"]: r["med"]
+        for r in med_df.select(
+            "l_returnflag", F.col("q")[0].alias("med")
+        ).collect()
+    }
+
+    def _case_over_flags(stats: dict) -> F.Column:
+        expr = F.when(F.lit(False), F.lit(None).cast("double"))
+        for flag in sorted(stats):
+            expr = expr.when(
+                F.col("l_returnflag") == F.lit(flag), F.lit(stats[flag])
+            )
+        return expr  # no otherwise → NULL for flags absent from stats
+
+    x = F.col("_v")
+    med_c = _case_over_flags(med_map)
+    devs = vc.select(
+        "l_returnflag", F.abs(x - med_c).alias("_dev"), "_c"
+    )
+    mad_map = {
+        r["l_returnflag"]: r["mad"]
+        for r in group_quantiles(
+            devs, ["l_returnflag"], "_dev", [0.5], weight_col="_c",
+            enum_keys=True,
         )
-        .select("l_returnflag", F.col("q")[0].alias("med"))
-        .localCheckpoint(eager=True)
-    )
-    x = F.col("l_extendedprice")
-    devs = vc.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag", F.abs(x - F.col("med")).alias("_dev"), "_n"
-    )
-    mad = (
-        group_quantiles(devs, ["l_returnflag"], "_dev", [0.5], weight_col="_n")
         .select("l_returnflag", F.col("q")[0].alias("mad"))
-        .join(F.broadcast(med), "l_returnflag")
-        .localCheckpoint(eager=True)
-    )
-    is_out = F.abs(x - F.col("med")) > _MAD_CUT * _MAD_K * F.col("mad")
+        .collect()
+    }
+    mad_c = _case_over_flags(mad_map)
+    is_out = F.abs(x - med_c) > _MAD_CUT * _MAD_K * mad_c
     return (
-        vc.join(F.broadcast(mad), "l_returnflag")
+        # Flags with all-NULL prices have no statistics — drop them,
+        # exactly like the oracle's inner join against `mad`.
+        vc.where(F.col("l_returnflag").isin(*mad_map) if mad_map
+                 else F.lit(False))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.any_value("med"), _R).alias("median_price"),
-            F.round(F.any_value("mad"), _R).alias("mad_price"),
-            F.sum(F.when(is_out, F.col("_n")).otherwise(0)).alias(
+            F.sum(F.when(is_out, F.col("_c")).otherwise(0)).alias(
                 "n_outliers"
             ),
             F.round(
-                F.sum(F.when(is_out, F.col("_n")).otherwise(0))
-                / F.sum("_n"),
+                F.sum(F.when(is_out, F.col("_c")).otherwise(0))
+                / F.sum("_c"),
                 _R,
             ).alias("outlier_frac"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(med_c, _R).alias("median_price"),
+            F.round(mad_c, _R).alias("mad_price"),
+            "n_outliers",
+            "outlier_frac",
         )
         .orderBy("l_returnflag")
     )

@@ -2163,44 +2163,59 @@ def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the 10 learned BPE merges to the whole corpus and report
     per-source tokenizer compression: character-symbols before vs BPE
     symbols after — the fertility/compression audit run after training
-    a tokenizer (see operators.text.bpe_segment_col; zero Python in the
-    row path, the merge table is 10 driver-side literals).
+    a tokenizer.
+
+    DISTINCT-WORD ROUTE (round-6 rewrite, r5 verdict ask #4): the
+    trainer already materializes every distinct word's FINAL
+    segmentation round by round (localCheckpointed — see
+    operators.text.bpe_train_merges), so the corpus-wide audit is a
+    per-(source, word) count frame joined against that frame's symbol
+    counts, NOT a re-fold of all 10 merges over every document (which
+    re-paid the training's rewrite work at execution and was the
+    ledger's slowest entry at 6.3 s; per-document apply remains
+    available as operators.text.bpe_segment_col for tokenizing NEW
+    text). Segmentation is a pure per-word function, so the weighted
+    distinct-word totals equal the document-wise totals exactly. The
+    (source, word, n) frame is eagerly checkpointed at construction —
+    it feeds both the training vocabulary and the final join, and at
+    100 TB the corpus is scanned ONCE for both uses.
 
     Hash-matched: the oracle replays the same 10 unrolled training
     rounds (see bpe_train_merges), then derives each DISTINCT word's
     symbol count from its final delimiter-wrapped segmentation and
-    weights by per-(source, word) occurrence counts — segmentation is a
-    pure per-word function, so the distinct-word route aggregates to the
-    identical per-source totals the engine computes document-wise."""
+    weights by per-(source, word) occurrence counts — the identical
+    derivation."""
     docs = _docs(spark, sf_dir)
-    vocab = (
+    sw = (
         TX.explode_no_refilter(
-            docs.select(TX.tokens_col("text").alias("toks")), "toks", "w"
+            docs.select("source", TX.tokens_col("text").alias("toks")),
+            "toks",
+            "w",
         )
-        .groupBy("w")
+        .groupBy("source", "w")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
-    merges = TX.bpe_train_merges(
-        vocab, _BPE_MERGES, word_col="w", count_col="n"
+    vocab = sw.groupBy("w").agg(F.sum("n").alias("n"))
+    _, seg = TX.bpe_train_merges(
+        vocab, _BPE_MERGES, word_col="w", count_col="n",
+        return_segmentation=True,
     )
-    segs = TX.bpe_segment_col(F.col("text"), merges)
-    n_sym = F.aggregate(
-        segs, F.lit(0), lambda acc, s: acc + F.size(s)
-    )
-    n_chr = F.aggregate(
-        segs,
-        F.lit(0),
-        lambda acc, s: acc
-        + F.aggregate(s, F.lit(0), lambda a, t: a + F.length(t)),
+    sym = seg.select(
+        "w",
+        F.size("seg").alias("n_sym"),
+        F.length("w").alias("n_chr"),
     )
     return (
-        docs.select("source", n_sym.alias("n_sym"), n_chr.alias("n_chr"))
+        sw.join(sym, "w")
         .groupBy("source")
         .agg(
-            F.sum("n_chr").alias("n_chars"),
-            F.sum("n_sym").alias("n_bpe_symbols"),
+            F.sum(F.col("n") * F.col("n_chr")).alias("n_chars"),
+            F.sum(F.col("n") * F.col("n_sym")).alias("n_bpe_symbols"),
             F.round(
-                F.sum("n_chr") / F.sum("n_sym"), ROUND_DIGITS
+                F.sum(F.col("n") * F.col("n_chr"))
+                / F.sum(F.col("n") * F.col("n_sym")),
+                ROUND_DIGITS,
             ).alias("chars_per_symbol"),
         )
         .orderBy("source")

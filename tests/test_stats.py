@@ -153,6 +153,87 @@ def test_group_quantiles_weighted_equals_expanded(spark):
     assert got == want
 
 
+def test_group_quantiles_enum_path_equals_general(spark):
+    """The bounded-key fast path (enum_keys=True) must reproduce the
+    general path bit-for-bit on adversarial data — duplicates, ties
+    across range-partition boundaries, NULLs, single-row groups — for
+    plain, weighted, assume_distinct, and global (keys=[]) invocations,
+    and its returned domain must be the complete weighted multiset
+    INCLUDING null values (stats_mad_outliers' denominator rides on
+    that)."""
+    import random
+
+    from big_data_imdb_classifier_spark.operators.stats import group_quantiles
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(5000):
+        g = ["a", "b", "c"][i % 3]
+        v = None if i % 97 == 0 else float(rng.choice([1, 2, 2, 3, 5, 8, 13, 21]))
+        rows.append((g, v))
+    rows.append(("solo", 42.0))
+    df = spark.createDataFrame(rows, "g string, v double")
+    pcts = [0.1, 0.25, 0.5, 0.9, 0.99]
+
+    gen = {r["g"]: r["q"] for r in group_quantiles(df, ["g"], "v", pcts).collect()}
+    fast, domain = group_quantiles(
+        df, ["g"], "v", pcts, enum_keys=True, return_domain=True
+    )
+    fast = {r["g"]: r["q"] for r in fast.collect()}
+    assert gen == fast
+
+    # Domain completeness: per-group weights sum to ALL rows (nulls in).
+    dom = {r["g"]: r["t"] for r in domain.groupBy("g").agg(
+        F.sum("_c").alias("t")).collect()}
+    exp = {r["g"]: r["t"] for r in df.groupBy("g").agg(
+        F.count("*").alias("t")).collect()}
+    assert dom == exp
+    null_weight = domain.where(F.col("_v").isNull()).agg(
+        F.sum("_c")).collect()[0][0]
+    assert null_weight == sum(1 for _, v in rows if v is None)
+
+    # Weighted + assume_distinct parity.
+    wdf = df.groupBy("g", "v").agg(F.count("*").alias("n"))
+    gw = {r["g"]: r["q"] for r in group_quantiles(
+        wdf, ["g"], "v", pcts, weight_col="n", assume_distinct=True).collect()}
+    fw = {r["g"]: r["q"] for r in group_quantiles(
+        wdf, ["g"], "v", pcts, weight_col="n", assume_distinct=True,
+        enum_keys=True).collect()}
+    assert gw == fw
+
+    # Global path.
+    gg = group_quantiles(df, [], "v", pcts).collect()[0]["q"]
+    fg = group_quantiles(df, [], "v", pcts, enum_keys=True).collect()[0]["q"]
+    assert gg == fg
+
+    # The cap guards against misuse on unbounded keys.
+    wide = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(40)], "g string, v double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bounded-enum cap"):
+        group_quantiles(wide, ["g"], "v", [0.5], enum_keys=True).collect()
+
+
+def test_group_quantiles_enum_dedup_rides_range_exchange(spark):
+    """Plan shape: on the enum path the dedup aggregation must add NO
+    exchange beyond the single range exchange — RangePartitioning on
+    (keys, value) satisfies the aggregate's clustering requirement. If
+    a Spark upgrade ever breaks that, partition ids would still be
+    range-consistent (computed downstream), but the pass would silently
+    pay a second shuffle — this test turns that into a loud failure."""
+    df = spark.range(10000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 17).cast("double").alias("v"),
+    )
+    d = df.repartitionByRange(8, "g", "v").groupBy("g", "v").agg(
+        F.sum(F.lit(1)).alias("_c")
+    )
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_group_quantiles_property_vs_builtin(spark):
     """Hypothesis differential: random grouped value multisets (heavy
     duplication, negatives, tiny groups) — group_quantiles must equal
