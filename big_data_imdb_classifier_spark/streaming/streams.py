@@ -120,13 +120,20 @@ def run_to_memory(
     table: str,
     output_mode: str = "complete",
     timeout_sec: int = 120,
-) -> DataFrame:
+    with_progress: bool = False,
+) -> DataFrame | tuple[DataFrame, list]:
     """Drain a (bounded) stream into an in-memory sink with availableNow
     and return the completed result as a batch DataFrame.
 
     ``complete`` for watermarked aggregations (a single availableNow batch
     never advances the watermark far enough for append-mode emission);
     ``append`` for stateless/dedup streams.
+
+    ``with_progress=True`` additionally returns the query's
+    ``recentProgress`` list (per-micro-batch JSON incl. ``stateOperators``
+    rows/memory) so throughput benches can attribute wall-time variance
+    to state growth vs host noise instead of guessing (r5 verdict ask
+    #6 — the unexplained stream-stream join drift).
     """
     q = (
         df.writeStream.format("memory")
@@ -136,7 +143,10 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination(timeout_sec)
-    return spark.table(table)
+    result = spark.table(table)
+    if with_progress:
+        return result, list(q.recentProgress)
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -76,26 +76,70 @@ def main() -> None:
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     load_start = _load_1m()
 
+    def _state_summary(progress: list) -> dict:
+        """Collapse per-micro-batch progress into the numbers that
+        distinguish state growth from host noise: micro-batch count,
+        final state rows, peak state memory, total state updates."""
+        batches = len(progress)
+        rows_total = mem_peak = updated = 0
+        for p in progress:
+            for so in p.get("stateOperators") or []:
+                rows_total = max(rows_total, so.get("numRowsTotal", 0) or 0)
+                mem_peak = max(mem_peak, so.get("memoryUsedBytes", 0) or 0)
+                updated += so.get("numRowsUpdated", 0) or 0
+        return {
+            "micro_batches": batches,
+            "state_rows_final": rows_total,
+            "state_mem_peak_bytes": mem_peak,
+            "state_rows_updated": updated,
+        }
+
     results = {}
     for name, build in cases.items():
-        walls, out_rows = [], 0
+        walls, out_rows, state_reps = [], 0, []
         try:
             for rep in range(reps):
                 ev = S.load_events_stream(spark, SF_DIR)
                 df, mode = build(ev)
                 t0 = time.perf_counter()
-                out = S.run_to_memory(spark, df, f"sb_{name}_{rep}",
-                                      output_mode=mode, timeout_sec=600)
+                out, progress = S.run_to_memory(
+                    spark, df, f"sb_{name}_{rep}",
+                    output_mode=mode, timeout_sec=600,
+                    with_progress=True,
+                )
                 out_rows = out.count()
                 walls.append(time.perf_counter() - t0)
+                state_reps.append(_state_summary(progress))
         except Exception as ex:  # noqa: BLE001
             print(f"stream_bench: {name} failed: {ex}", file=sys.stderr)
             continue
         wall = sorted(walls)[len(walls) // 2]
+        # Attribution: identical state shape across reps + varying wall
+        # time = host-side variance; growing state rows/memory = real
+        # state accumulation (each rep starts a fresh temp checkpoint,
+        # so any growth would indicate a leak in the query itself).
+        shapes = {
+            (s["micro_batches"], s["state_rows_final"]) for s in state_reps
+        }
+        spread = (max(walls) / max(min(walls), 1e-9)) if walls else 1.0
+        if len(shapes) <= 1:
+            cause = (
+                "state shape identical across reps"
+                + (
+                    f"; wall spread x{spread:.2f} is host-side"
+                    if spread > 1.2
+                    else "; wall stable"
+                )
+            )
+        else:
+            cause = "STATE SHAPE VARIES ACROSS REPS — investigate"
         results[name] = {
             "sec": round(wall, 3),
             "out_rows": out_rows,
             "rows_per_sec": round(n_rows / wall),
+            "wall_spread": round(spread, 2),
+            "state": state_reps,
+            "state_note": cause,
         }
         base = baseline_cases.get(name, {}).get("rows_per_sec")
         if base:
