@@ -114,6 +114,7 @@ HEADLINE = [
     "heavy_hitters_mg_tokens",           # Misra-Gries candidates + exact recount
     "sim_maxsim_multivector",            # late-interaction MaxSim scoring
     "event_session_window_builtin",      # native SessionWindow aggregate
+    "dedup_embedding_semdedup",          # cluster-local semantic dedup
 ]
 
 

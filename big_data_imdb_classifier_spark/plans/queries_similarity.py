@@ -583,6 +583,74 @@ def knn_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_SEMDEDUP_SOFT = 2  # top-2 soft cell assignment (boundary mitigation)
+
+
+def _semdedup_oracle() -> str:
+    """Full DuckDB oracle for the cluster-local semantic dedup: the
+    shared Lloyd prefix (index sizing in SQL, unrolled deterministic
+    training, same rounded distances), then top-``_SEMDEDUP_SOFT`` soft
+    cell assignment of EVERY vector, same-cell pair candidates, and
+    exact-cosine verification at the dedup threshold."""
+    dd = SIM.LLOYD_DIST_DIGITS
+    last = f"c{SIM.LLOYD_ITERS}"
+    return f"""{_ivf_coarse_prefix()},
+    va2 AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            round(list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)
+                  - 2 * list_dot_product(e.v, c.c), {dd}), c.cid) AS rn
+        FROM e CROSS JOIN {last} c
+      ) WHERE rn <= {_SEMDEDUP_SOFT}
+    ),
+    pc AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM va2 a JOIN va2 b USING (cid) WHERE a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT vec_a, vec_b,
+        list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+      FROM pc JOIN e ea ON ea.vec_id = pc.vec_a
+              JOIN e eb ON eb.vec_id = pc.vec_b
+    )
+    SELECT vec_a, vec_b, round(sim, {ROUND_DIGITS}) AS sim
+    FROM p WHERE sim >= {_COS_DUP_THRESHOLD} ORDER BY vec_a, vec_b"""
+
+
+@query("dedup_embedding_semdedup", oracle=_semdedup_oracle())
+def dedup_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-local semantic near-duplicate pairs
+    (Abbas et al. 2023, arXiv:2303.09540) — the SCALE ROUTE next to the
+    exact all-pairs baseline (dedup_embedding_cosine): the
+    deterministic Lloyd quantizer (√N cells, trained on the bounded
+    strided sample) partitions the corpus, every vector soft-assigns to
+    its top-2 cells, and exact cosine ≥ threshold runs ONLY on
+    same-cell pairs. Candidate volume is ~soft²/cells of all pairs (9%
+    at sf0.1, shrinking as √N grows) — O(N^1.5), sub-quadratic at
+    every scale, and the production trade: cross-cluster duplicate
+    pairs are dropped by design (measured coverage vs the exact
+    baseline: 0.93 at sf0.01, 0.58 at sf0.1 for this wide 0.45-cosine
+    threshold; the floor is pinned in tests/test_similarity.py —
+    tighter thresholds cluster better). Training included, the whole
+    pipeline replays in SQL and hash-matches its oracle (same Lloyd
+    prefix as the IVF searches)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells, _, _ = SIM.ivf_params(n)
+    pairs = SIM.semantic_dedup_cell_pairs(
+        emb,
+        threshold=_COS_DUP_THRESHOLD,
+        n_clusters=k_cells,
+        n_soft=_SEMDEDUP_SOFT,
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("sim", ROUND_DIGITS).alias("sim")
+    ).orderBy("vec_a", "vec_b")
+
+
 _Q_MID_R = 8  # pin per-vector FP accumulation before the label-level avg
 
 

@@ -75,6 +75,49 @@ def test_ann_sims_are_exact_on_candidates(spark):
             assert math.isclose(r.sim, exact[key], rel_tol=1e-9)
 
 
+def test_semdedup_coverage_and_candidate_bound(spark):
+    """Cluster-local semantic dedup (SemDeDup shape): every emitted
+    pair must be a TRUE pair of the exact all-pairs baseline (the
+    verify step is exact cosine, so precision is 1 by construction),
+    coverage of the exact pair set must clear the measured floor for
+    this corpus (0.93 at the oracle SF; floored at 0.85), and the
+    candidate volume must stay well under the quadratic all-pairs count
+    (the whole point of the cluster blocking)."""
+    emb = _emb(spark)
+    n = emb.count()
+    k_cells, _, _ = SIM.ivf_params(n)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.semantic_dedup_cell_pairs(
+            emb, threshold=0.45, n_clusters=k_cells, n_soft=2
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.cosine_pairs_blocked(emb, threshold=0.45).collect()
+    }
+    assert got <= exact, f"false pairs: {got - exact}"
+    coverage = len(got) / max(len(exact), 1)
+    assert coverage >= 0.85, f"semdedup coverage too low: {coverage}"
+    # candidate bound: same-cell pairs with soft=2 must stay far below
+    # the all-pairs count
+    sample = SIM.strided_sample_vectors(emb)
+    centers = SIM.lloyd_centers_deterministic(sample, k_cells)
+    cells = emb.select(
+        "vec_id",
+        F.explode(SIM.probe_cells_col(centers, 2, "embedding")).alias("c"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    n_cand = (
+        a.join(b, F.col("a.c") == F.col("b.c"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand < 0.35 * n * (n - 1) / 2, n_cand
+
+
 def test_ivf_recall_at_10(spark):
     """IVF multi-probe must recover most of the exact top-10. Random
     embeddings are the worst case for IVF (no cluster structure), so the

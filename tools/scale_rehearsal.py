@@ -235,6 +235,10 @@ EMBEDDING_QUERIES = [
     "knn_ann_recall_gate",
     "mapinarrow_embedding_quantize",
     "sim_maxsim_multivector",
+    # round-6: cluster-local semantic dedup — the sub-quadratic scale
+    # route whose candidate volume (~soft²/cells of all pairs) shrinks
+    # as √N cells grow; the 10× ratio is the evidence for that claim
+    "dedup_embedding_semdedup",
 ]
 
 # The replica tag inflates BYTES beyond 10x (measured ~1.55x extra), but
