@@ -904,8 +904,22 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("g"))
     prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    # CORPUS-SCALED join strategy for dfreq: it is VOCABULARY-sized
+    # (distinct shingles ≈ 52·docs — ~26M rows at the 100×-bench
+    # synthetic decade, where an unconditional broadcast was the
+    # round-6 rehearsal's one supralinear flag; unbounded at 100 TB).
+    # Catalyst won't pick broadcast itself (aggregate size estimates
+    # are pessimistic and the table clears the AQE auto-broadcast
+    # threshold well before the corpus is big), so choose explicitly:
+    # broadcast while the vocabulary comfortably fits an executor
+    # (≲10M entries — measured 2× faster locally than the shuffle
+    # join), shuffle-join on `g` beyond (reusing dfreq's own
+    # aggregation exchange). The doc count is a parquet-footer
+    # metadata read; the same corpus-scaled-parameter philosophy as
+    # SIM.ivf_params.
+    vocab_fits = docs.count() * 52 <= 10_000_000
     idx = (
-        inv.join(F.broadcast(dfreq), "g")
+        inv.join(F.broadcast(dfreq) if vocab_fits else dfreq, "g")
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= prefix_len)
         .select("doc_id", "g")

@@ -609,7 +609,11 @@ def main() -> None:
     # linear, so it cannot mask a supralinear query — it only adds a
     # linear floor to both sides.
     sf10_rows = []
-    if not only_named:
+    # --sf10 forces the synthetic third-decade section for a NAMED run
+    # (so one flagged query can be re-measured after a fix without the
+    # full 185-query sweep); the named filter then applies inside.
+    force_sf10 = "--sf10" in sys.argv
+    if not only_named or force_sf10:
         def synth(rows_n: int) -> str:
             return (
                 f"synthetic://?rows={rows_n}&seed=1"
@@ -638,6 +642,8 @@ def main() -> None:
         )
         for n, small_uri, big_uri in sf10_cases:
             if n not in plans.QUERIES:
+                continue
+            if force_sf10 and only_named and n not in names:
                 continue
             try:
                 t_1 = round(
