@@ -414,16 +414,38 @@ def semantic_dedup_cell_pairs(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
     )
     ea, eb = e.alias("_sea"), e.alias("_seb")
-    return (
+    joined = (
         pc.join(ea, F.col("vec_a") == F.col("_sea._id"))
         .join(eb, F.col("vec_b") == F.col("_seb._id"))
         .select(
             "vec_a",
             "vec_b",
-            cosine_col(F.col("_sea._v"), F.col("_seb._v")).alias("sim"),
+            F.col("_sea._v").alias("_va"),
+            F.col("_seb._v").alias("_vb"),
         )
-        .where(F.col("sim") >= threshold)
     )
+
+    # Arrow-batched exact-cosine verify: an interpreted higher-order
+    # cosine per candidate pair measured 5.1 s at sf0.1 (179k pairs ×
+    # 64 dims × 3 aggregates); one numpy einsum per Arrow batch is the
+    # same vectorized shape as cosine_pairs_blocked, whose numpy
+    # accumulation already hash-matches DuckDB at the registry's 1e-6
+    # rounding.
+    def _verify(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            va = np.vstack(b["_va"].to_numpy())
+            vb = np.vstack(b["_vb"].to_numpy())
+            sim = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            out = pd.DataFrame(
+                {"vec_a": b["vec_a"], "vec_b": b["vec_b"], "sim": sim}
+            )
+            yield out[out["sim"] >= threshold]
+
+    return joined.mapInPandas(_verify, "vec_a long, vec_b long, sim double")
 
 
 def cosine_pairs_blocked(
