@@ -2234,3 +2234,102 @@ def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text retrieval (Robertson/Spärck Jones; the Lucene-style
+# smoothed IDF). The missing retrieval primitive next to text_tfidf_top_terms:
+# score a fixed multi-term query against every document, return the top-k.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["join", "scan", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+    stats AS (
+      SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM dl
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS term FROM d
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf
+      FROM tok WHERE term IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+        ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * tf.tf * ({_BM25_K1} + 1)
+          / (tf.tf + {_BM25_K1}
+             * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS c
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, count(*) AS n_terms,
+           round(sum(c), {ROUND_DIGITS}) AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed multi-term query.
+
+    k1=1.2, b=0.75, Lucene-style smoothed IDF ln(1+(N-df+0.5)/(df+0.5)).
+
+    Scale shape: the term filter lands immediately after the explode, so
+    only postings for the query's terms survive into the TF aggregation
+    (at 100 TB this is the moral equivalent of probing an inverted
+    index: the shuffled volume is proportional to the query terms'
+    posting lists, never the corpus token count). Per-term df and the
+    corpus stats are tiny and broadcast; the doc-length join keys on
+    doc_id against a two-column frame; the top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", TX.tokens_col("text").alias("t"))
+    dl = d.select("doc_id", F.size("t").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    tok = TX.explode_no_refilter(d, "t", "term")
+    tf = (
+        tok.where(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * F.col("tf") * (k1 + 1.0) / denom).alias("c"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("c"), ROUND_DIGITS).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

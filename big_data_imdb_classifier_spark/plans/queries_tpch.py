@@ -5,9 +5,13 @@ no partsupp table, no l_commitdate / l_receiptdate / l_shipmode /
 o_shippriority columns — so each query below is the standard TPC-H
 shape re-targeted at the columns that exist (adaptations noted per
 query). Q1 already ships as ``pricing_summary`` (queries_relational.py);
-queries needing the absent partsupp table or shipmode/receiptdate/phone
-columns (Q2, Q9, Q11, Q12, Q16, Q20-Q22) are out of scope — every other
-TPC-H query is here.
+queries needing the absent partsupp table (Q2, Q9, Q11, Q16, Q20) are out
+of scope — there is no faithful substitute for ps_supplycost/ps_availqty.
+Q12/Q21/Q22 ARE here, adapted the way Q4 already is: "late" is re-defined
+from the columns that exist (shipped > N days after the order date, since
+l_commitdate/l_receiptdate are absent), Q12's shipmode grouping becomes
+the l_returnflag line class, and Q22's phone country code becomes
+c_nationkey. Every non-partsupp TPC-H query is present.
 
 Why this suite exists: the bespoke registry covers every operator, but
 these are the *benchmark-standard compositions* an OLAP engine is judged
@@ -730,4 +734,202 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         brand_li.join(avg_qty, brand_li.l_partkey == F.col("_pk"))
         .where(F.col("l_quantity") < F.col("_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, R).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — Shipping Modes and Order Priority (adapted: no l_shipmode /
+# l_commitdate / l_receiptdate; the "mode" grouping becomes the
+# l_returnflag line class and "shipped late" is l_shipdate more than
+# 30 days after o_orderdate, mirroring Q4's 60-day adaptation).
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q12_returnflag_priority",
+    oracle="""
+    SELECT l.l_returnflag AS lineclass,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag IN ('R', 'A')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY lineclass
+    """,
+)
+def tpch_q12_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: late-line counts split by order priority per line class.
+
+    Plan at scale: both date predicates on lineitem push down to the
+    parquet scan (only the late-vs-orderdate comparison is a join
+    residual, since it needs the orders side); the priority CASE folds
+    into map-side partial aggregation on a 2-value key, so the agg
+    shuffle moves ~4 rows per task regardless of SF. One fact-fact
+    equi-join shuffle is the whole cost — AQE broadcast-converts the
+    filtered lineitem side at small SF and sort-merges at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("lineclass"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("lineclass")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — Suppliers Who Kept Orders Waiting (adapted: "late" is
+# l_shipdate > o_orderdate + 60 days, exactly Q4's redefinition, since
+# l_commitdate/l_receiptdate are absent).
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lo l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n  ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_13'
+      AND l1.is_late
+      AND EXISTS (
+        SELECT 1 FROM lo l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lo l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.is_late
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: the sole-late supplier on multi-supplier 'F' orders.
+
+    The double correlated EXISTS / NOT EXISTS does NOT become two extra
+    self-joins here: both subqueries range over the same per-order
+    lineitem population, so they de-correlate into ONE groupBy over that
+    population — per order, the distinct-supplier count and the
+    distinct-LATE-supplier count. The EXISTS is then ``n_supp > 1`` and
+    the NOT EXISTS is ``n_late_supp = 1`` (the only late supplier is
+    this one), checked as a post-join filter on the per-order stats.
+    Cost at scale: the lineitem⋈orders('F') join runs twice (the two
+    branches diverge after predicate pushdown, so the exchange is not
+    reusable), then one agg on l_orderkey and one join back — two
+    passes over pushdown-pruned base scans versus the naive plan's
+    THREE lineitem self-join shuffles over unfiltered data. The
+    supplier⋈nation dim join is broadcast (≤25 rows at any SF)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "is_late"
+        ),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — Global Sales Opportunity (adapted: no c_phone, so the phone
+# country code becomes c_nationkey over a fixed 7-key set).
+# ---------------------------------------------------------------------------
+
+_Q22_KEYS = "(3, 7, 11, 15, 19, 21, 23)"
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+    SELECT c.c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), {R}) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN {_Q22_KEYS}
+      AND c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN {_Q22_KEYS}
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: well-funded, never-ordered customers per country code.
+
+    The scalar AVG subquery is computed once and crossJoin-broadcast as
+    a 1-row frame (Spark's own scalar-subquery planning does the same);
+    the NOT EXISTS is a LEFT ANTI join against orders — no distinct
+    needed on the probe side, anti-join short-circuits on first match.
+    The IN-list predicate pushes to the customer scan on both branches.
+    At 100 TB the anti-join is the only real shuffle; customer is the
+    small side of it and AQE picks the broadcast direction."""
+    keys = [3, 7, 11, 15, 19, 21, 23]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(keys))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), R).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
