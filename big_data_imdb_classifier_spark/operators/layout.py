@@ -116,3 +116,61 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    table: str,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a hash-bucketed (and bucket-sorted) parquet table.
+
+    THE co-location lever for repeated big-big joins at 100 TB: both
+    sides of a recurring join written with the same bucket count on the
+    join key hash-agree file-by-file, so every later join between them
+    needs NO shuffle exchange — the scan itself satisfies the join's
+    required hash distribution (and with ``sort=True`` plus one file per
+    bucket, the sort-merge join's sort requirement too). The shuffle is
+    paid ONCE at write time instead of on every query.
+
+    The pre-``repartition(buckets, key)`` uses the same Murmur3 hash as
+    the bucket spec, so each bucket's rows land in exactly one task and
+    each bucket is exactly ONE file — without it, every write task emits
+    a file per bucket (tasks × buckets small files) and the per-bucket
+    sort no longer yields globally sorted buckets.
+
+    Bucketed metadata only round-trips through the catalog, hence
+    ``saveAsTable`` with an explicit external ``path`` (plain
+    ``.parquet(path)`` would silently drop the bucket spec)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, key)
+    )
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def write_partitioned(df: DataFrame, path: str, part_col: str) -> None:
+    """Write ``df`` as hive-layout parquet partitioned by ``part_col``.
+
+    Directory-level partition elimination is the coarsest and cheapest
+    pruning tier at 100 TB: a filter on the partition column never
+    lists, opens, or reads non-matching directories (PartitionFilters in
+    the scan node, applied by the file index before any I/O). The
+    pre-``repartition(part_col)`` co-locates each partition value in one
+    task so each directory holds ONE file instead of one per task — the
+    classic small-files guard."""
+    (
+        df.repartition(F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )

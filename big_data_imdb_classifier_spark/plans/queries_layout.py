@@ -103,3 +103,158 @@ def zorder_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join + hive-partitioned pruned scan. The other two
+# write-side layout levers next to z-ordering: pay the shuffle / the
+# directory split ONCE at write, and every later query skips it. The
+# layouts are materialized under .cache/layout/ on first use per session
+# (recorded as query CONSTRUCTION by bench.py); results are
+# layout-independent, so both queries hash-match oracles that run on the
+# RAW parquet — the oracle proves the relayout changed nothing.
+# ---------------------------------------------------------------------------
+
+import os as _os
+import re as _re
+
+from ..operators.layout import write_bucketed, write_partitioned
+
+_LAYOUT_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".cache",
+    "layout",
+)
+_BUCKETS = 8
+# (applicationId, sf_dir, layout-kind) -> materialized once per session
+_built: dict[tuple[str, str, str], tuple] = {}
+
+
+def _tag(sf_dir: str) -> str:
+    return _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + lineitem as bucket-by-orderkey tables (once
+    per session per sf_dir); returns the two catalog table names."""
+    key = (spark.sparkContext.applicationId, sf_dir, "bucketed")
+    if key in _built:
+        return _built[key]  # type: ignore[return-value]
+    tag = _tag(sf_dir)
+    base = _os.path.join(_LAYOUT_ROOT, tag)
+    ot, lt = f"layout_orders_b{_BUCKETS}_{tag}", f"layout_lineitem_b{_BUCKETS}_{tag}"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, _os.path.join(base, "orders_bucketed"), ot, "o_orderkey", _BUCKETS)
+    write_bucketed(
+        li, _os.path.join(base, "lineitem_bucketed"), lt, "l_orderkey", _BUCKETS
+    )
+    _built[key] = (ot, lt)
+    return ot, lt
+
+
+def _ensure_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as day-partitioned parquet (once per session
+    per sf_dir); returns the directory path."""
+    key = (spark.sparkContext.applicationId, sf_dir, "partitioned")
+    if key in _built:
+        return _built[key][0]  # type: ignore[return-value]
+    path = _os.path.join(_LAYOUT_ROOT, _tag(sf_dir), "events_by_day")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    write_partitioned(ev, path, "day")
+    _built[key] = (path,)
+    return path
+
+
+@query(
+    "layout_bucketed_join_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def layout_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over pre-bucketed tables: ZERO join-side shuffle.
+
+    Construction (once per session) writes orders and lineitem bucketed
+    by orderkey into the same {_BUCKETS}-bucket layout; the query then
+    sort-merge-joins them (explicit ``merge`` hint — at production scale
+    neither side broadcasts, so SMJ is the honest plan) and the bucketed
+    scans already satisfy the join's hash-distribution requirement: the
+    executed plan has ZERO Exchange below the join (asserted by
+    tests/test_plans.py), only the final ≤5-key aggregate exchanges. A
+    cheap within-partition Sort per side remains — Spark only trusts
+    bucket-sort order behind the legacy bucketedTableScan.outputOrdering
+    flag — but the data-moving cost is gone. At 100 TB this converts
+    every recurring orders⋈lineitem query from a full two-sided shuffle
+    into a map-side-only merge."""
+    ot, lt = _ensure_bucketed(spark, sf_dir)
+    o = spark.table(ot)
+    li = spark.table(lt)
+    return (
+        o.hint("merge")
+        .join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PRUNE_DAYS = ["2024-01-05", "2024-01-12", "2024-01-19"]
+_PRUNE_DAYS_SQL = "(" + ", ".join(f"'{d}'" for d in _PRUNE_DAYS) + ")"
+
+
+@query(
+    "layout_partition_pruned_daily",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN {_PRUNE_DAYS_SQL}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def layout_partition_pruned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup over a day-partitioned event log: directory-level
+    partition elimination.
+
+    Construction (once per session) rewrites events hive-partitioned by
+    day (~30 directories, one file each). The IN-list filter on the
+    partition column is applied by the FILE INDEX — non-matching
+    directories are never listed, opened, or read (PartitionFilters in
+    the scan node; tests/test_plans.py asserts the scan touches exactly
+    len(_PRUNE_DAYS) partitions). At 100 TB with date-partitioned logs
+    this is the difference between scanning 3 days and scanning 10
+    years; the oracle runs the same rollup on the RAW unpartitioned
+    parquet, proving the relayout preserved the data."""
+    path = _ensure_partitioned(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(F.col("day").cast("string").isin(_PRUNE_DAYS))
+        .groupBy(F.col("day").cast("string").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -540,3 +540,68 @@ def test_bloom_pruned_query_injects_filter_under_shuffle_regime(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def _executed(spark, name: str) -> str:
+    """Executed (AQE-final) plan string — FINAL section only."""
+    df = plans.QUERIES[name](spark, SF_SMOKE)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_bucketed_join_has_no_exchange_below_join(spark):
+    """layout_bucketed_join_colocated's claim: the bucketed scans satisfy
+    the SMJ's distribution, so NO Exchange exists below the join — the
+    only exchanges are the post-join aggregate and the final sort."""
+    final = _executed(spark, "layout_bucketed_join_colocated")
+    assert "SortMergeJoin" in final, final
+    assert final.count("Bucketed: true") == 2, final
+    # everything at and below the join must be exchange-free
+    below_join = final[final.index("SortMergeJoin"):]
+    assert "Exchange" not in below_join, below_join
+    # the exchanges above the join are on the agg/sort key, never orderkey
+    for line in final.splitlines():
+        if "Exchange" in line:
+            assert "orderkey" not in line, line
+
+
+def test_partition_pruned_scan_uses_partition_filters(spark):
+    """layout_partition_pruned_daily's claim: the day IN-list is applied
+    by the file index (PartitionFilters), not as a data filter, and the
+    partition column is not read from file data at all."""
+    final = _executed(spark, "layout_partition_pruned_daily")
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", final)
+    assert m, final
+    assert "2024-01-05" in m.group(1), m.group(1)
+    scan = next(l for l in final.splitlines() if "FileScan" in l)
+    assert "DataFilters: []" in scan, scan
+    # partition value comes from the directory name, not file contents
+    m2 = re.search(r"ReadSchema: (\S+)", scan)
+    assert m2 and "day" not in m2.group(1), scan
+
+
+def test_partitioned_layout_reads_only_matching_days(spark):
+    """Behavioral pruning proof: the pruned scan's post-filter file set
+    is exactly one file per selected day, and those files live under the
+    selected-day directories only."""
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.plans.queries_layout import (
+        _PRUNE_DAYS,
+        _ensure_partitioned,
+    )
+
+    path = _ensure_partitioned(spark, SF_SMOKE)
+    ev = spark.read.parquet(path).where(
+        F.col("day").cast("string").isin(_PRUNE_DAYS)
+    )
+    files = [
+        r[0]
+        for r in ev.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    ]
+    assert len(files) == len(_PRUNE_DAYS), files
+    for f in files:
+        assert any(f"day={d}" in f for d in _PRUNE_DAYS), f
