@@ -2213,3 +2213,85 @@ def event_welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         dof.alias("welch_dof"),
         (F.abs(t) > _TT_CRIT).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style sequential pattern matching. The missing member
+# of the path family (funnel = fixed stage order, trigrams = local
+# n-grams): a full REGEX over each user's event-type sequence, the
+# row-pattern primitive SQL:2016 exposes as MATCH_RECOGNIZE and Spark
+# does not ship — expressed here as encode → ordered collapse → regex.
+# ---------------------------------------------------------------------------
+
+_PAT_FUNNEL = "vc*p"  # view, any clicks, purchase (non-overlapping count)
+_PAT_CLEAN = "v[^e]*p"  # a funnel with no error anywhere inside
+
+
+@query(
+    "event_pattern_regex_funnels",
+    oracle=f"""
+    WITH coded AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ch
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             length(regexp_extract_all(seq, '{_PAT_FUNNEL}'))::BIGINT
+               AS n_funnels,
+             CASE WHEN regexp_matches(seq, '{_PAT_CLEAN}') THEN 1 ELSE 0 END
+               AS clean
+      FROM seqs
+    )
+    SELECT n_funnels,
+           count(*)::BIGINT AS n_users,
+           sum(clean)::BIGINT AS n_clean_users
+    FROM scored
+    GROUP BY n_funnels
+    ORDER BY n_funnels
+    """,
+)
+def event_pattern_regex_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over per-user event sequences: encode each
+    event type to one character, collapse each user's history into an
+    ordered string, then COUNT non-overlapping ``{_PAT_FUNNEL}`` matches
+    (view → clicks → purchase) and flag error-free funnels
+    (``{_PAT_CLEAN}``) — arbitrary regular expressions over behavior
+    sequences, strictly more expressive than the fixed-stage funnel.
+
+    Scale shape: ONE shuffle (the per-user groupBy); the in-order
+    collapse is array_sort over (ts, event_id, ch) structs inside the
+    aggregate — no window pass, no second exchange — and the regex runs
+    once per USER, not per event. Per-user strings are bounded by events
+    per user; a whale user yields a long string, not a skewed shuffle
+    (the heavy work is post-aggregation, spread by user hash). Both
+    engines count non-overlapping leftmost matches, so the hash pins the
+    regex semantics too."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq")
+    )
+    scored = seqs.select(
+        F.regexp_count("seq", F.lit(_PAT_FUNNEL)).alias("n_funnels"),
+        F.when(F.col("seq").rlike(_PAT_CLEAN), 1).otherwise(0).alias("clean"),
+    )
+    return (
+        scored.groupBy("n_funnels")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("clean").alias("n_clean_users"),
+        )
+        .orderBy("n_funnels")
+    )

@@ -1452,3 +1452,92 @@ def sql_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority, o_orderstatus
         """
     )
+
+
+_REC_STEPS = 20  # recursion depth cap (Spark's cteRecursionLevelLimit is 100)
+
+
+@query(
+    "sql_recursive_cte_balance",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      QUALIFY rn <= {_REC_STEPS}
+    ),
+    walk AS (
+      SELECT user_id, rn,
+             least(greatest(value, 0.0), 100.0) AS bal
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             least(greatest(0.9 * w.bal + s.value, 0.0), 100.0) AS bal
+      FROM walk w
+      JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_steps,
+           round(max_by(bal, rn), 4) AS final_balance
+    FROM walk
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sql_recursive_cte_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4.1) driving a genuinely sequential
+    recurrence: per user, walk the first {_REC_STEPS} events in time
+    order updating ``bal = clamp(0.9*bal + value, 0, 100)``. The clamp
+    makes the recurrence NON-LINEAR — unlike a running sum, no window
+    aggregate can express it, which is exactly the class of computation
+    recursive CTEs exist for (the alternative is a driver-side loop of
+    {_REC_STEPS} self-joins with unbounded lineage).
+
+    Exercised through spark.sql so the recursion feature itself (a
+    UnionLoop under the hood) is under the oracle gate against DuckDB's
+    recursive CTE — identical UNION ALL semantics, identical float op
+    order per user, so the hash must match. Scale shape: the windowed
+    step table is materialized ONCE (eager localCheckpoint) before the
+    recursion — a plain CTE reference would re-run the corpus window
+    shuffle on EVERY iteration, the recursive-query scale killer; after
+    that, each iteration joins the current frontier (one row per live
+    user) to the rn-keyed step scan — frontier-sized work, never
+    corpus-sized. Depth is capped by the rn <= {_REC_STEPS} predicate,
+    well inside Spark's recursion level limit of 100."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _REC_STEPS)
+        .select("user_id", "value", "rn")
+        .localCheckpoint(eager=True)
+    )
+    seq.createOrReplaceTempView("v_rec_seq")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE seq AS (
+          SELECT user_id, value, rn FROM v_rec_seq
+        ),
+        walk AS (
+          SELECT user_id, rn,
+                 least(greatest(value, 0.0D), 100.0D) AS bal
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.rn,
+                 least(greatest(0.9D * w.bal + s.value, 0.0D), 100.0D) AS bal
+          FROM walk w
+          JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+        )
+        SELECT user_id,
+               count(*) AS n_steps,
+               round(max_by(bal, rn), 4) AS final_balance
+        FROM walk
+        GROUP BY user_id
+        ORDER BY user_id
+        """
+    )
