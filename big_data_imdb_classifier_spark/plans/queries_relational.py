@@ -1541,3 +1541,66 @@ def sql_recursive_cte_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+_KANON_K = 5  # minimum group size for a quasi-identifier class
+
+
+@query(
+    "dq_k_anonymity_profile",
+    oracle=f"""
+    WITH qid AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS grp
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           count(*)::BIGINT AS n_classes,
+           count(CASE WHEN grp < {_KANON_K} THEN 1 END)::BIGINT
+             AS n_violating_classes,
+           sum(grp)::BIGINT AS n_rows,
+           sum(CASE WHEN grp < {_KANON_K} THEN grp ELSE 0 END)::BIGINT
+             AS n_rows_to_suppress,
+           min(grp)::BIGINT AS min_class_size
+    FROM qid
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def dq_k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over a quasi-identifier tuple — the release
+    gate a training-data pipeline runs before publishing per-user
+    derived tables: any (nationkey, segment, balance-band) equivalence
+    class smaller than k={_KANON_K} re-identifies its members, and its
+    rows must be suppressed or generalized. Reports, per nation, the
+    class count, violating classes, and exactly how many rows a
+    k-anonymous release would drop.
+
+    Scale shape: two stacked aggregations sharing one logical ancestry —
+    the class-size groupBy is the only corpus shuffle (map-side partials
+    absorb the narrow QID key space), and the per-nation rollup reuses
+    its output (a few thousand class rows at ANY corpus size). Nothing
+    here is row-Python; the banding is arithmetic."""
+    c = load_table(spark, sf_dir, "customer")
+    qid = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    viol = F.col("grp") < _KANON_K
+    return (
+        qid.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.count(F.when(viol, 1)).alias("n_violating_classes"),
+            F.sum("grp").alias("n_rows"),
+            F.sum(F.when(viol, F.col("grp")).otherwise(F.lit(0))).alias(
+                "n_rows_to_suppress"
+            ),
+            F.min("grp").alias("min_class_size"),
+        )
+        .orderBy("c_nationkey")
+    )

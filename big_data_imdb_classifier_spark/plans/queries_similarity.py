@@ -862,3 +862,108 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation quality (Kusupati et al. 2022,
+# arXiv:2205.13147): how much top-k fidelity survives when the 64-d
+# embeddings are truncated to their leading 8/16/32 dims — the analysis
+# that decides whether a pipeline can serve ANN shortlists from a
+# cheaper prefix index and re-rank at full width.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = [8, 16, 32]
+
+
+def _mrl_rank_sql(qe: str, ce: str) -> str:
+    sim = (
+        f"list_dot_product({qe}, {ce}) / (sqrt(list_dot_product({qe}, {qe}))"
+        f" * sqrt(list_dot_product({ce}, {ce})))"
+    )
+    return (
+        "SELECT query_id, neighbor_id FROM ("
+        " SELECT query_id, neighbor_id,"
+        f" row_number() OVER (PARTITION BY query_id ORDER BY {sim} DESC,"
+        " neighbor_id) AS rank"
+        " FROM q CROSS JOIN c WHERE query_id != neighbor_id)"
+        f" WHERE rank <= {TOP_K}"
+    )
+
+
+_MRL_TRUNC_SQL = "\n      UNION ALL\n".join(
+    f"SELECT {d} AS dim, * FROM ({_mrl_rank_sql(f'qe[1:{d}]', f'ce[1:{d}]')})"
+    for d in _MRL_DIMS
+)
+
+
+@query(
+    "knn_matryoshka_dim_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
+    ),
+    full_rank AS ({_mrl_rank_sql("qe", "ce")}),
+    trunc_all AS (
+      {_MRL_TRUNC_SQL}
+    ),
+    rec AS (
+      SELECT t.dim, t.query_id,
+             count(f.query_id)::DOUBLE / {TOP_K} AS recall
+      FROM trunc_all t
+      LEFT JOIN full_rank f
+        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      GROUP BY t.dim, t.query_id
+    )
+    SELECT dim,
+           round(avg(recall), {ROUND_DIGITS}) AS mean_recall,
+           round(min(recall), {ROUND_DIGITS}) AS min_recall
+    FROM rec GROUP BY dim ORDER BY dim
+    """,
+)
+def knn_matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of prefix-truncated exact search vs full-width
+    exact search, per truncation width {_MRL_DIMS}.
+
+    Scale shape: one broadcast-query corpus pass PER width (the widths
+    are constants, so the loop statically unrolls into one DAG — same
+    discipline as the bootstrap lanes), each pass shuffling only its
+    per-query top-{TOP_K}; the recall join compares {TOP_K}-row sets per
+    (width, query). Truncation is F.slice — no recompute of the stored
+    vectors, which is the Matryoshka deployment property being measured.
+    Both engines accumulate dot products left-to-right, so ranks (and
+    the hash) are exact matches, not approximate ones."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = (
+        SIM.knn_exact_cosine(emb, emb.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    frames = []
+    for d in _MRL_DIMS:
+        t = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tk = SIM.knn_exact_cosine(
+            t, t.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K
+        )
+        frames.append(
+            tk.select(F.lit(d).alias("dim"), "query_id", "neighbor_id")
+        )
+    trunc = frames[0]
+    for f_ in frames[1:]:
+        trunc = trunc.unionByName(f_)
+    rec = (
+        trunc.join(full, ["query_id", "neighbor_id"], "left")
+        .groupBy("dim", "query_id")
+        .agg((F.count("_hit") / float(TOP_K)).alias("recall"))
+    )
+    return (
+        rec.groupBy("dim")
+        .agg(
+            F.round(F.avg("recall"), ROUND_DIGITS).alias("mean_recall"),
+            F.round(F.min("recall"), ROUND_DIGITS).alias("min_recall"),
+        )
+        .orderBy("dim")
+    )

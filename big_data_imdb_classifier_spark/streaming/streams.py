@@ -415,3 +415,65 @@ def read_state_metadata(spark, checkpoint_dir: str) -> DataFrame:
     count, min/max retained batch ids) — how you discover the
     ``operator_id``/``batch_id`` arguments for :func:`read_state`."""
     return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+_PATTERN_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("n_funnels", T.LongType(), True),
+        T.StructField("clean", T.IntegerType(), True),
+    ]
+)
+_PATTERN_STATE = T.StructType([T.StructField("seq", T.StringType(), True)])
+
+
+def pattern_funnel_stream(
+    events: DataFrame, watermark: str = "2 hours", max_len: int = 4096
+) -> DataFrame:
+    """Streaming row-pattern matching — the stateful twin of the batch
+    ``event_pattern_regex_funnels`` query: per user, the coded event
+    string accumulates in state across micro-batches and each batch
+    re-emits the user's current non-overlapping ``vc*p`` funnel count
+    and error-free flag.
+
+    State is ONE bounded string per user (``max_len`` tail retention —
+    the explicit eviction policy a per-key unbounded accumulator needs
+    at 100 TB; a funnel window longer than that belongs to the batch
+    path). Events are ordered by (ts, event_id) within each batch, so a
+    single availableNow drain reproduces the batch result exactly
+    (asserted in tests/test_streaming.py)."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pat = _re.compile("vc*p")
+    clean_pat = _re.compile("v[^e]*p")
+
+    def update(key, pdfs, state: GroupState):
+        seq = state.get[0] if state.exists else ""
+        frames = list(pdfs)
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            seq += "".join(pdf["event_type"].astype(str).str[0])
+        seq = seq[-max_len:]
+        state.update((seq,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_funnels": [len(pat.findall(seq))],
+                "clean": [1 if clean_pat.search(seq) else 0],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_PATTERN_OUT,
+            stateStructType=_PATTERN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -352,3 +352,40 @@ def test_statestore_reader_pins_checkpoint_state_to_batch_agg(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_pattern_funnel_stream_matches_batch(spark):
+    """Streaming row-pattern state op: one availableNow drain must equal
+    the batch encode→collapse→regex computation per user."""
+    ev_stream = ST.load_events_stream(spark, SF_SMOKE)
+    got = ST.run_to_memory(
+        spark,
+        ST.pattern_funnel_stream(ev_stream),
+        "t_pattern_funnels",
+        output_mode="update",
+    )
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ch"))
+                    ),
+                    lambda s: s["ch"],
+                ),
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            F.regexp_count("seq", F.lit("vc*p")).alias("n_funnels"),
+            F.when(F.col("seq").rlike("v[^e]*p"), 1).otherwise(0).alias("clean"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
