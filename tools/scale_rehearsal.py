@@ -94,6 +94,10 @@ EVENT_QUERIES = [
     # measures the corpus-sized lead-window pass, which is the cost
     "event_markov_stationary",
     "event_welch_ttest_value",
+    # round-6: per-user string collapse + regex, and the recursive-CTE
+    # frontier walk (both linear in events; depth capped at 20)
+    "event_pattern_regex_funnels",
+    "sql_recursive_cte_balance",
 ]
 
 # The cheapest PROPS-FREE event queries (the synthetic generator serves
@@ -166,6 +170,17 @@ RELATIONAL_QUERIES = [
     "stats_bootstrap_ci_mean",
     "join_runtime_bloom_pruned",
     "sql_group_by_all_revenue",
+    # round-6 additions
+    "tpch_q12_returnflag_priority",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
+    "layout_bucketed_join_colocated",
+    "layout_partition_pruned_daily",
+    "source_orc_roundtrip_rollup",
+    "fuzzy_join_fastss_d1",
+    "dq_k_anonymity_profile",
+    "stats_corr_matrix",
+    "stats_trend_forecast_by_nation",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -207,6 +222,7 @@ TEXT_QUERIES = [
     "bpe_merge1_gate",
     "text_length_quantile_normalize",
     "dsir_importance_select",
+    "text_bm25_topk",
     # bpe_apply_compression is EXCLUDED by design: its greedy fold costs
     # O(word_len^2) array copies PER WORD (documented in bpe_segment_col)
     # and the fabricated corpus lengthens every token with a replica tag,
@@ -239,6 +255,9 @@ EMBEDDING_QUERIES = [
     # route whose candidate volume (~soft²/cells of all pairs) shrinks
     # as √N cells grow; the 10× ratio is the evidence for that claim
     "dedup_embedding_semdedup",
+    # round-6: prefix-truncation recall — three broadcast corpus passes,
+    # linear in N like knn_exact_cosine
+    "knn_matryoshka_dim_recall",
 ]
 
 # The replica tag inflates BYTES beyond 10x (measured ~1.55x extra), but
@@ -269,7 +288,8 @@ BYTE_SENSITIVE = {
     "corpus_curation_e2e",      # fingerprint+minhash stages inside
     "text_entropy_kl_by_source",  # per-character distribution
     "bpe_merge1_gate",          # char-pair explode per distinct word
-    "dsir_importance_select",   # per-occurrence bigram-string hashing
+    "dsir_importance_select",
+    "text_bm25_topk",   # per-occurrence bigram-string hashing
 }
 
 

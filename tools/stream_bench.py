@@ -57,6 +57,10 @@ def main() -> None:
             S.clicks_before_purchase_join_stream(ev),
             "append",
         ),
+        "pattern_funnel_state": lambda ev: (
+            S.pattern_funnel_stream(ev),
+            "update",
+        ),
     }
 
     baseline_cases = {}
