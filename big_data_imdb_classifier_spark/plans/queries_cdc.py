@@ -20,6 +20,10 @@ shapes over the testdata, each against a DuckDB oracle:
 * ``fuzzy_join_fastss_d1`` — the recall-complete upgrade: FastSS
   deletion-neighborhood blocking, whose candidate equi-join provably
   misses NO pair within edit distance 1 (exhaustive-oracle pytest).
+* ``cdc_scd2_pointintime_join`` — the consumption side of SCD2: facts
+  attributed to the dimension version valid at their own timestamp via
+  ONE union+carry window (no range join); oracle is DuckDB's native
+  ASOF JOIN, an independent implementation of the same semantics.
 """
 
 from __future__ import annotations
@@ -558,4 +562,119 @@ def fuzzy_join_fastss_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(hit, F.col("k"))).alias("best_match_key"),
         )
         .orderBy("dirty_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time (temporal) join — the consumption side of the SCD2
+# history cdc_scd2_priority_history builds: every fact row looks up the
+# dimension version that was valid AT ITS OWN timestamp. The oracle uses
+# DuckDB's native ASOF JOIN, so the engine's union+carry rendering is
+# hash-pinned against an INDEPENDENT asof implementation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_scd2_pointintime_join",
+    oracle="""
+    WITH marked AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderpriority) OVER w
+                       IS NOT DISTINCT FROM o_orderpriority
+                  THEN 0 ELSE 1 END AS new_run
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    dim AS (
+      SELECT o_custkey, o_orderdate AS valid_from,
+             arg_max(o_orderpriority, o_orderkey) AS prio
+      FROM marked WHERE new_run = 1
+      GROUP BY o_custkey, o_orderdate
+    ),
+    probes AS (
+      SELECT o.o_custkey AS ck, l.l_shipdate AS ts,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT coalesce(d.prio, 'NONE') AS prio_at_ship,
+           count(*) AS n_lines,
+           round(sum(p.rev), 4) AS revenue
+    FROM probes p
+    ASOF LEFT JOIN dim d ON p.ck = d.o_custkey AND p.ts >= d.valid_from
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: each lineitem is attributed to the
+    customer-priority REGIME valid at its ship date (latest change-run
+    start ≤ l_shipdate) — the point-in-time join every SCD2 warehouse
+    runs on every fact load.
+
+    Scale shape: no range join and no per-row subquery — dimension
+    version starts and fact probes UNION into one stream, ONE window per
+    customer carries the last non-null version forward (markers sort
+    before probes at equal timestamps, giving inclusive as-of semantics),
+    and probes leave with their version attached. That is a single hash
+    exchange on the entity key at any corpus size, versus the
+    quadratic-prone interval join a naive BETWEEN formulation plans.
+    The oracle is DuckDB's NATIVE ASOF JOIN — an independent
+    implementation of the same semantics, so a tie-break or
+    inclusivity drift fails the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority")),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_run"),
+    )
+    dim = (
+        marked.where(F.col("new_run") == 1)
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderdate").alias("valid_from"),
+        )
+        .agg(F.max_by("o_orderpriority", "o_orderkey").alias("prio"))
+    )
+    probes = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("ck"),
+        F.col("l_shipdate").alias("ts"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    markers = dim.select(
+        "ck",
+        F.col("valid_from").alias("ts"),
+        "prio",
+        F.lit(0).alias("src"),
+        F.lit(None).cast("double").alias("rev"),
+    )
+    stream = markers.unionByName(
+        probes.select(
+            "ck", "ts", F.lit(None).cast("string").alias("prio"),
+            F.lit(1).alias("src"), "rev",
+        )
+    )
+    cw = (
+        Window.partitionBy("ck")
+        .orderBy("ts", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = stream.withColumn(
+        "prio_at_ship",
+        F.coalesce(F.last("prio", ignorenulls=True).over(cw), F.lit("NONE")),
+    ).where(F.col("src") == 1)
+    return (
+        attributed.groupBy("prio_at_ship")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("rev"), 4).alias("revenue"),
+        )
+        .orderBy("prio_at_ship")
     )
