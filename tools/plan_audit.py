@@ -80,6 +80,14 @@ CROSS_WHITELIST = {
     "event_markov_stationary",      # single-row state-count (k) broadcast
     # seeding the uniform pi0; each iteration is a hash join on <=25 rows
     "event_welch_ttest_value",      # 1-row x 1-row arm-stats crossJoin
+    "text_bm25_topk",               # single-row (avgdl, n_docs) corpus-stats
+    # broadcast; the posting lists themselves travel through hash joins
+    "tpch_q22_global_sales_opportunity",  # Q22's scalar AVG subquery as a
+    # 1-row broadcast (Spark's own scalar-subquery planning does the same)
+    "stats_trend_forecast_by_nation",     # single-row min-month scalar
+    # broadcast anchoring the month index
+    "knn_matryoshka_dim_recall",    # documented O(QxN) broadcast exact
+    # baseline per truncation width (5 query rows), as knn_exact_cosine
 }
 
 
