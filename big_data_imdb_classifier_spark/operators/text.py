@@ -749,3 +749,90 @@ def bpe_segment_col(text, merges: list[tuple[int, str, str, str, int]]):
     for _, l, r, merged, _ in merges:
         segs = F.transform(segs, apply_one(l, r, merged))
     return segs
+
+
+def minhash_lsh_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """DIRECTIONAL MinHash-LSH: an incoming batch probed against the
+    standing corpus only — never batch×batch, never corpus×corpus.
+
+    The incremental-ingestion shape of :func:`minhash_lsh_near_dup_pairs`:
+    at 100 TB the corpus side's banded signatures are written once and
+    re-read per batch (cf. the keyed cache sink), so each ingest pays
+    O(batch) signature work plus a bucket join whose probe side is
+    batch-sized. Same md5-as-permutation signatures, same banding, same
+    exact-Jaccard verify — the two operators stay hash-compatible.
+
+    Returns (new_id, corpus_id, jaccard) for banded candidates.
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes, "num_hashes must divide into bands"
+
+    def band_hash(b: int) -> Column:
+        parts: list[Column] = []
+        for r in range(rows):
+            if parts:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh_{b * rows + r}"))
+        return F.md5(F.concat(*parts))
+
+    def pipeline(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        df = repartition_for_cpu(df, id_col)
+        sh = df.select(
+            id_col, word_shingles_col(text_col, k).alias("shingles")
+        )
+        sig = sh.select(
+            id_col,
+            *[
+                minhash_col(F.col("shingles"), i).alias(f"mh_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        banded = (
+            sig.select(
+                F.col(id_col),
+                F.posexplode(
+                    F.array(*[band_hash(b) for b in range(bands)])
+                ).alias("band", "bh"),
+            )
+            .where(F.col("bh").isNotNull())
+            .repartition("band", "bh")
+        )
+        return sh, banded
+
+    sh_new, band_new = pipeline(new_df)
+    sh_old, band_old = pipeline(corpus_df)
+    cand = (
+        band_new.select(
+            F.col(id_col).alias("new_id"), "band", "bh"
+        )
+        .join(
+            band_old.select(F.col(id_col).alias("corpus_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = sh_new.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("_sa"))
+    sb = sh_old.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("_sb")
+    )
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.greatest(F.size(F.array_union("_sa", "_sb")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )

@@ -967,3 +967,93 @@ def knn_matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining: for each query vector, the nearest
+# neighbors of a DIFFERENT label — the training-pair construction step
+# for contrastive/triplet embedding fine-tuning (the highest-similarity
+# wrong-label candidates are exactly the informative negatives).
+# ---------------------------------------------------------------------------
+
+_HN_K = 5
+
+
+@query(
+    "knn_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS ql
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce, label AS cl
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id, cl AS neg_label,
+        list_dot_product(qe, ce)
+          / (sqrt(list_dot_product(qe, qe))
+             * sqrt(list_dot_product(ce, ce))) AS sim
+      FROM q CROSS JOIN c
+      WHERE query_id != neighbor_id AND ql != cl
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, sim,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id, neg_label,
+           round(sim, {ROUND_DIGITS}) AS sim
+    FROM ranked WHERE rank <= {_HN_K}
+    ORDER BY query_id, rank
+    """,
+)
+def knn_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_HN_K} hardest negatives per query vector: highest-cosine
+    candidates whose label DIFFERS from the query's — the pair-mining
+    pass that feeds contrastive/triplet fine-tuning.
+
+    Scale shape: identical to knn_exact_cosine (broadcast query side,
+    one corpus pass, one ranking shuffle) with the label-mismatch
+    predicate evaluated as a join residual BEFORE any similarity math,
+    so same-label candidates never reach the dot product. At corpus
+    scale the ANN shortlist (knn_ann_ivf) replaces the exact pass and
+    this becomes its re-rank filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        SIM.as_double("embedding").alias("_qe"),
+        F.col("label").alias("_ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.as_double("embedding").alias("_ce"),
+        F.col("label").alias("neg_label"),
+    )
+    from pyspark.sql.window import Window
+
+    sims = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("_ql") != F.col("neg_label")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neg_label",
+        SIM.cosine_col(F.col("_qe"), F.col("_ce")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _HN_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "neg_label",
+            F.round("_sim", ROUND_DIGITS).alias("sim"),
+        )
+        .orderBy("query_id", "rank")
+    )

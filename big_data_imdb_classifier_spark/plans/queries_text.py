@@ -2333,3 +2333,160 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: an incoming batch (doc_id % 5 = 0, the
+# deterministic stand-in for "today's crawl") probed against the
+# standing corpus — exact fingerprints plus DIRECTIONAL MinHash-LSH.
+# Never batch×batch, never corpus×corpus: per ingest the work is
+# O(batch) signatures + a batch-sized bucket probe, which is what keeps
+# continuous dedup affordable when the corpus is 100 TB and the batch
+# is a millionth of it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental_new_vs_corpus",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+    sig AS (
+      SELECT doc_id, s,
+        {", ".join(f"{_mh_sql(i)} AS mh_{i}" for i in range(8))}
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+      FROM bands n JOIN bands o ON n.band = o.band AND n.bh = o.bh
+      WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+    ),
+    ver AS (
+      SELECT new_id,
+        len(list_intersect(x.s, y.s))::DOUBLE
+          / greatest(len(list_distinct(list_concat(x.s, y.s))), 1) AS j
+      FROM cand
+      JOIN sh x ON x.doc_id = cand.new_id
+      JOIN sh y ON y.doc_id = cand.corpus_id
+    ),
+    summary AS (
+      SELECT new_id, count(*) AS n_candidates,
+             count(CASE WHEN j >= 0.5 THEN 1 END) AS n_near
+      FROM ver GROUP BY new_id
+    ),
+    ex AS (
+      SELECT DISTINCT n.doc_id AS new_id
+      FROM documents n JOIN documents o
+        ON md5(trim(n.text)) = md5(trim(o.text))
+      WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+    )
+    SELECT d.doc_id,
+           (ex.new_id IS NOT NULL) AS exact_dup,
+           coalesce(s.n_candidates, 0) AS n_candidates,
+           coalesce(s.n_near, 0) AS n_near
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN summary s ON s.new_id = d.doc_id
+    LEFT JOIN ex ON ex.new_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per incoming document: exact-fingerprint hit against the corpus,
+    banded near-dup candidates, and verified (Jaccard ≥ 0.5) near-dups —
+    the admission report a continuous-ingest pipeline emits per batch.
+
+    Scale shape: operators/text.py: minhash_lsh_incremental_pairs — the
+    batch side pays signatures for ITS rows only, the bucket join's
+    probe side is batch-sized, and the corpus side's banded signatures
+    are the reusable artifact a standing pipeline persists between
+    ingests. The exact tier is one fingerprint equi-join. Neither tier
+    ever forms batch×batch or corpus×corpus pairs."""
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    pairs = TX.minhash_lsh_incremental_pairs(new, corpus)
+    summary = pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(F.col("jaccard") >= 0.5, 1)).alias("n_near"),
+    )
+    fp_new = new.select("doc_id", F.md5(F.trim("text")).alias("_fp"))
+    fp_old = corpus.select(F.md5(F.trim("text")).alias("_fp")).distinct()
+    exact = (
+        fp_new.join(fp_old, "_fp")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_ex", F.lit(1))
+    )
+    return (
+        new.select("doc_id")
+        .join(summary, new.doc_id == summary.new_id, "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_ex").isNotNull().alias("exact_dup"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOCKLIST = ["error", "slow", "drop"]
+_BLOCKLIST_SQL = "(" + ", ".join(f"'{t}'" for t in _BLOCKLIST) + ")"
+
+
+@query(
+    "quality_blocklist_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             len(list_filter({_TOKS}, x -> x IN {_BLOCKLIST_SQL})) AS hits
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(CASE WHEN hits > 0 THEN 1 END) AS n_flagged,
+           round(count(CASE WHEN hits > 0 THEN 1 END)::DOUBLE / count(*),
+                 {ROUND_DIGITS}) AS flagged_frac,
+           sum(hits)::BIGINT AS total_hits
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def quality_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist screen (the URL/word filter tier every crawl
+    pipeline runs before anything expensive): per source, documents
+    containing any blocklisted token, flagged fraction, and total hit
+    count.
+
+    Scale shape: the blocklist is a LITERAL in the plan (a real one is a
+    broadcast set — same property: never shuffled), matching runs as a
+    JVM higher-order filter over the token array IN-ROW — no explode, no
+    per-token shuffle, one partial+final aggregate on the source key.
+    Pure whole-stage-codegen arithmetic; a 10k-term production list
+    swaps the lambda for a broadcast hash probe with the same plan
+    shape."""
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens_col("text")
+    is_blocked = lambda x: x.isin(*_BLOCKLIST)  # noqa: E731
+    scored = docs.select(
+        "source", F.size(F.filter(toks, is_blocked)).alias("hits")
+    )
+    flagged = F.count(F.when(F.col("hits") > 0, 1))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flagged.alias("n_flagged"),
+            F.round(flagged / F.count(F.lit(1)), ROUND_DIGITS).alias(
+                "flagged_frac"
+            ),
+            F.sum("hits").cast("long").alias("total_hits"),
+        )
+        .orderBy("source")
+    )

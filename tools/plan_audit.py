@@ -88,6 +88,8 @@ CROSS_WHITELIST = {
     # broadcast anchoring the month index
     "knn_matryoshka_dim_recall",    # documented O(QxN) broadcast exact
     # baseline per truncation width (5 query rows), as knn_exact_cosine
+    "knn_hard_negative_mining",     # same broadcast exact baseline with a
+    # label-mismatch join residual (5 query rows)
 }
 
 

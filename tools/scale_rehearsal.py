@@ -223,6 +223,8 @@ TEXT_QUERIES = [
     "text_length_quantile_normalize",
     "dsir_importance_select",
     "text_bm25_topk",
+    "dedup_incremental_new_vs_corpus",
+    "quality_blocklist_filter",
     # bpe_apply_compression is EXCLUDED by design: its greedy fold costs
     # O(word_len^2) array copies PER WORD (documented in bpe_segment_col)
     # and the fabricated corpus lengthens every token with a replica tag,
@@ -258,6 +260,7 @@ EMBEDDING_QUERIES = [
     # round-6: prefix-truncation recall — three broadcast corpus passes,
     # linear in N like knn_exact_cosine
     "knn_matryoshka_dim_recall",
+    "knn_hard_negative_mining",
 ]
 
 # The replica tag inflates BYTES beyond 10x (measured ~1.55x extra), but
@@ -289,7 +292,9 @@ BYTE_SENSITIVE = {
     "text_entropy_kl_by_source",  # per-character distribution
     "bpe_merge1_gate",          # char-pair explode per distinct word
     "dsir_importance_select",
-    "text_bm25_topk",   # per-occurrence bigram-string hashing
+    "text_bm25_topk",
+    "dedup_incremental_new_vs_corpus",
+    "quality_blocklist_filter",   # per-occurrence bigram-string hashing
 }
 
 
