@@ -2490,3 +2490,155 @@ def quality_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_ngram_novelty_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, source, {_SHINGLES} AS s FROM toks),
+    inv AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+    df AS (SELECT g, count(DISTINCT doc_id) AS df FROM inv GROUP BY g),
+    per_doc AS (
+      SELECT i.doc_id, i.source,
+             count(*) AS n_grams,
+             count(CASE WHEN df.df = 1 THEN 1 END) AS n_novel
+      FROM inv i JOIN df ON df.g = i.g
+      GROUP BY i.doc_id, i.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_novel::DOUBLE / n_grams), {ROUND_DIGITS})
+             AS mean_novelty,
+           round(min(n_novel::DOUBLE / n_grams), {ROUND_DIGITS})
+             AS min_novelty,
+           count(CASE WHEN n_novel = 0 THEN 1 END) AS n_fully_derivative
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def text_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per document, rolled up per source: the fraction
+    of a doc's distinct 3-gram shingles that appear in NO other document
+    (corpus df = 1) — the diversity/novelty signal curation pipelines
+    use to prefer documents that add new content over recombinations
+    (a doc with novelty 0 is built entirely from shingles that exist
+    elsewhere).
+
+    Scale shape: the same inverted-index discipline as the dedup suite —
+    one explode shuffle to document frequencies, one join of postings to
+    the (vocabulary-sized, df-keyed) frequency table, one per-doc
+    aggregate; never any doc×doc pair. At 100 TB the df table is the
+    reusable artifact (shared with dedup_ngram_jaccard_prefix's index);
+    novelty scoring is a probe over it."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", "source", TX.word_shingles_col("text", 3).alias("s")
+    )
+    inv = TX.explode_no_refilter(sh, "s", "g").select("doc_id", "source", "g")
+    df_t = inv.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    per_doc = (
+        inv.join(df_t, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_novel"),
+        )
+    )
+    nov = F.col("n_novel").cast("double") / F.col("n_grams")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(nov), ROUND_DIGITS).alias("mean_novelty"),
+            F.round(F.min(nov), ROUND_DIGITS).alias("min_novelty"),
+            F.count(F.when(F.col("n_novel") == 0, 1)).alias(
+                "n_fully_derivative"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_COVERAGE_LEVELS = [0.5, 0.9, 0.99]
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    tot AS (SELECT sum(n)::DOUBLE AS total, count(*)::BIGINT AS vocab
+            FROM freq),
+    ranked AS (
+      SELECT term, n,
+             sum(n) OVER (ORDER BY n DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             row_number() OVER (ORDER BY n DESC, term) AS rnk
+      FROM freq
+    )
+    SELECT lvl.level,
+           min(r.rnk)::BIGINT AS n_tokens_needed,
+           t.vocab AS vocab_size,
+           round(min(r.rnk)::DOUBLE / t.vocab, {ROUND_DIGITS})
+             AS vocab_frac
+    FROM (SELECT unnest([{", ".join(str(v) for v in _COVERAGE_LEVELS)}])
+            AS level) lvl
+    CROSS JOIN tot t
+    JOIN ranked r ON r.cum >= lvl.level * t.total
+    GROUP BY lvl.level, t.vocab
+    ORDER BY lvl.level
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design curve: how many distinct tokens (ranked by
+    frequency) cover 50% / 90% / 99% of all corpus token occurrences —
+    the vocabulary-size-vs-coverage tradeoff read off before fixing a
+    tokenizer's vocab budget.
+
+    Scale shape: token frequencies from one explode + map-side-combined
+    groupBy; the running coverage is a window over the FREQUENCY table
+    (vocabulary-sized, not corpus-sized — the global-order window is
+    acceptable exactly because its input is the aggregated vocab, cf.
+    vocab_top_tokens), and the three coverage probes are a ≤3-row
+    broadcast against it."""
+    docs = _docs(spark, sf_dir)
+    tok = TX.explode_no_refilter(
+        docs.select(TX.tokens_col("text").alias("t")), "t", "term"
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = freq.select(
+        "term",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("term")))
+        .alias("rnk"),
+    )
+    levels = spark.createDataFrame(
+        [(v,) for v in _COVERAGE_LEVELS], "level double"
+    )
+    return (
+        levels.crossJoin(F.broadcast(tot))
+        .join(ranked, F.col("cum") >= F.col("level") * F.col("total"))
+        .groupBy("level", "vocab")
+        .agg(F.min("rnk").alias("n_tokens_needed"))
+        .select(
+            "level",
+            "n_tokens_needed",
+            F.col("vocab").alias("vocab_size"),
+            F.round(
+                F.col("n_tokens_needed").cast("double") / F.col("vocab"),
+                ROUND_DIGITS,
+            ).alias("vocab_frac"),
+        )
+        .orderBy("level")
+    )

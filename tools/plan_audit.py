@@ -90,6 +90,8 @@ CROSS_WHITELIST = {
     # baseline per truncation width (5 query rows), as knn_exact_cosine
     "knn_hard_negative_mining",     # same broadcast exact baseline with a
     # label-mismatch join residual (5 query rows)
+    "vocab_coverage_curve",         # 3-row coverage-level probe BNLJ onto
+    # the vocab-sized ranked frequency table (constant-size broadcast side)
 }
 
 

@@ -225,6 +225,8 @@ TEXT_QUERIES = [
     "text_bm25_topk",
     "dedup_incremental_new_vs_corpus",
     "quality_blocklist_filter",
+    "text_ngram_novelty_score",
+    "vocab_coverage_curve",
     # bpe_apply_compression is EXCLUDED by design: its greedy fold costs
     # O(word_len^2) array copies PER WORD (documented in bpe_segment_col)
     # and the fabricated corpus lengthens every token with a replica tag,
@@ -294,7 +296,9 @@ BYTE_SENSITIVE = {
     "dsir_importance_select",
     "text_bm25_topk",
     "dedup_incremental_new_vs_corpus",
-    "quality_blocklist_filter",   # per-occurrence bigram-string hashing
+    "quality_blocklist_filter",
+    "text_ngram_novelty_score",
+    "vocab_coverage_curve",   # per-occurrence bigram-string hashing
 }
 
 
