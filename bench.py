@@ -119,6 +119,8 @@ HEADLINE = [
     "text_bm25_topk",                    # BM25 retrieval, posting-list-bounded
     "layout_bucketed_join_colocated",    # bucketed fact-fact join, zero exchange
     "fuzzy_join_fastss_d1",              # deletion-neighborhood edit-distance join
+    # round-7 addition (headline 39 → 40)
+    "tpch_q9_product_type_profit",       # TPC-H Q9: widest join tree, derived partsupp
 ]
 
 
@@ -150,6 +152,37 @@ def _idle_gate(max_load: float, max_wait_sec: float) -> bool:
             )
             return False
         time.sleep(5)
+
+
+def _calibrate(spark, reps: int = 3) -> float:
+    """Fixed-work calibration probe (round 7, VERDICT r6 task 5): a
+    constant CPU-bound JVM job — hash + reduce over a fixed 64M-row
+    range, no IO, no Python — whose wall time depends only on host
+    conditions. Recorded at sweep start AND end, it turns the ±10%
+    round-to-round ledger drift from an unexplainable mystery into an
+    auditable quotient: two sweeps' per-query numbers are comparable
+    after dividing by their calibration ratio, and a sweep whose start
+    and end calibrations disagree is self-flagged as contaminated."""
+    from pyspark.sql import functions as F
+
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 64_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum("h"))
+            .collect()
+        )
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[len(samples) // 2], 3)
+
+
+# How many of the sweep's slowest queries get an isolated re-timing in
+# --all mode (the canonical per-query series for BENCHLOG regression
+# calls — in-sweep numbers keep sweep-position noise even with the warm
+# rep + GC protocol).
+ISOLATE_SLOWEST = 20
 
 
 def main() -> None:
@@ -208,6 +241,8 @@ def main() -> None:
         except Exception:
             pass
 
+    calibration_start = _calibrate(spark)
+
     timings: dict[str, float] = {}
     execution: dict[str, float] = {}
     construction: dict[str, float] = {}
@@ -232,14 +267,38 @@ def main() -> None:
         except Exception as e:  # keep emitting numbers even if one breaks
             print(f"bench: {n} failed: {e}", file=sys.stderr)
 
+    calibration_end = _calibrate(spark)
+
+    # --all mode: isolated re-timing of the sweep's slowest tail — the
+    # CANONICAL per-query series for regression calls (BENCHLOG r7
+    # protocol). Each gets its own GC + warm rep + median-of-3, in
+    # ascending-cost order, long after whatever sweep position it
+    # originally ran in.
+    isolated: dict[str, float] = {}
+    if "--all" in sys.argv and timings:
+        tail = sorted(timings, key=lambda n: -timings[n])[:ISOLATE_SLOWEST]
+        for n in sorted(tail, key=lambda n: timings[n]):
+            try:
+                jvm_gc()
+                run(n, SF_DIR)
+                totals = sorted(
+                    sum(run(n, SF_DIR)) for _ in range(reps)
+                )
+                isolated[n] = round(totals[len(totals) // 2], 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: isolated {n} failed: {e}", file=sys.stderr)
+
     meta = {
         "sf": _sf_from_dir(SF_DIR),
         "reps": reps,
         "stat": "median",
-        "protocol": "r6-total",  # construction+execution per query
+        "protocol": "r7-total-calibrated",  # construction+execution per
+        # query + fixed-work calibration probe + isolated slow tail
         "idle_gate_ok": idle_ok,
         "load_1m_start": load_start,
         "load_1m_end": _load_1m(),
+        "calibration_start_sec": calibration_start,
+        "calibration_end_sec": calibration_end,
     }
     detail = {
         "metric": "headline_wall_sec_detail",
@@ -251,6 +310,9 @@ def main() -> None:
         "execution_total": round(sum(execution.values()), 3),
         "construction": construction,
         "construction_total": round(sum(construction.values()), 3),
+        **({"isolated": isolated,
+            "isolated_total": round(sum(isolated.values()), 3)}
+           if isolated else {}),
         **meta,
     }
     print(json.dumps(detail))

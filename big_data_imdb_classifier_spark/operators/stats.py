@@ -166,7 +166,12 @@ def group_quantiles(
     and re-enters them as literal expressions, turning two
     broadcast-join lineages per pass into a projection + a
     LocalRelation probe, and riding the dedup aggregation on the range
-    exchange itself. Same results bit-for-bit (driver floor/ceil/frac
+    exchange itself. Round 7 trimmed the pass further: the checkpoint
+    is lazy (blocks materialize inside the offsets collect — one job
+    for exchange+window+checkpoint+totals) and the ≤|groups|·2·|pcts|
+    probe hits are collected with the lo/hi merge + interpolation done
+    driver-side, so the statistics come back as a LocalRelation and a
+    caller's follow-up ``.collect()`` costs no job. Same results bit-for-bit (driver floor/ceil/frac
     arithmetic is the identical IEEE-754 double math the SQL
     expressions performed); ~half the scheduled stages per pass —
     this path exists because quantile passes on enum keys are
@@ -303,9 +308,10 @@ def _group_quantiles_enum(
 
     Stage shape per pass: ONE range exchange (the dedup aggregation
     rides it — RangePartitioning satisfies the aggregate's clustering
-    requirement, verified by plan test), one window, an eager
-    localCheckpoint, then a bounded offsets/totals collect and a
-    LocalRelation rank probe over the cached blocks. NULL-key groups
+    requirement, verified by plan test), one window, a LAZY
+    localCheckpoint whose blocks materialize inside the bounded
+    offsets/totals collect (one job for exchange+window+checkpoint+
+    totals), then a LocalRelation rank probe over the cached blocks. NULL-key groups
     are dropped exactly like the general path (its probe join uses
     ``=``); the offset attach here uses null-safe equality so such rows
     don't poison the cumsum before being dropped.
@@ -328,6 +334,36 @@ def _group_quantiles_enum(
     kcols = [F.col(k) for k in keys]
     key_fields = [df.schema[k] for k in keys]
 
+    # NOTE: this path REQUIRES AQE enabled (the engine default, asserted
+    # by the plan test): the static plan for the dedup-rides-the-range-
+    # exchange shape carries an ENSURE_REQUIREMENTS hash exchange (the
+    # aggregate keys are knownfloatingpointnormalized(_v), which the
+    # planner does not match against the range partitioning); AQE elides
+    # it at runtime, and the _pid-order-equals-value-order premise the
+    # offset fold rests on holds only then. An AQE-off run was measured
+    # ~12% faster on job boundaries but SCRAMBLES the ranks through that
+    # surviving hash exchange — do not re-attempt without making _pid a
+    # data column stamped before the dedup.
+    return _group_quantiles_enum_body(
+        spark, df, keys, kcols, key_fields, val_col, pcts, weight_col,
+        assume_distinct, return_domain, dummy, math,
+    )
+
+
+def _group_quantiles_enum_body(
+    spark,
+    df: DataFrame,
+    keys: list[str],
+    kcols: list,
+    key_fields: list,
+    val_col: str,
+    pcts: list[float],
+    weight_col: str | None,
+    assume_distinct: bool,
+    return_domain: bool,
+    dummy: bool,
+    math,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     nparts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
@@ -352,7 +388,15 @@ def _group_quantiles_enum(
                 Window.partitionBy(*keys, "_pid").orderBy("_v")
             ),
         )
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint (round 7): the ptot collect below is the first
+        # action and materializes the blocks as a side effect, so the
+        # exchange+window pass and the block write happen in ONE job
+        # instead of an eager-checkpoint job followed by a ptot job —
+        # one driver round-trip saved per quantile pass, which is the
+        # unit this stage-latency-bound path is billed in. Later
+        # consumers (the rank probe, return_domain callers) read the
+        # same materialized blocks either way.
+        .localCheckpoint(eager=False)
     )
 
     ptot = d.groupBy(*keys, "_pid").agg(F.sum("_cr").alias("_pt")).collect()
@@ -434,30 +478,39 @@ def _group_quantiles_enum(
             F.col("_gqr._k") < F.col("_gqv._cum"),
         ]
     )
-    hit = d_a.join(F.broadcast(ranks_a), cond).select(
-        *[F.col(f"_gqv.{k}") for k in keys], "_v", "_i", "_frac", "_side"
+    # The probe hits are BOUNDED — at most one domain row per (group,
+    # pct, side), i.e. ≤ 16·|pcts|·2 rows — so they are collected and
+    # the lo/hi merge + linear interpolation run on the driver (the same
+    # IEEE-754 double arithmetic the general path's SQL projection
+    # performs), and the result returns as a LocalRelation: the two
+    # post-probe aggregation stages are gone, and a caller's follow-up
+    # ``.collect()`` of the statistics frame costs NO job at all (the
+    # mad-outliers two-pass chain collects both of its statistic frames).
+    hit_rows = (
+        d_a.join(F.broadcast(ranks_a), cond)
+        .select(*[F.col(f"_gqv.{k}") for k in keys], "_v", "_i", "_side")
+        .collect()
     )
-    per_pct = hit.groupBy(*keys, "_i", "_frac").agg(
-        F.max(F.when(F.col("_side") == "lo", F.col("_v"))).alias("_vlo"),
-        F.max(F.when(F.col("_side") == "hi", F.col("_v"))).alias("_vhi"),
+    acc: dict = {}
+    for r in hit_rows:
+        kt = tuple(r[k] for k in keys)
+        acc.setdefault(kt, {}).setdefault(r["_i"], {})[r["_side"]] = r["_v"]
+    out_rows = []
+    for kt in sorted(acc, key=lambda t: tuple(map(str, t))):
+        n = totals[kt]
+        edges = []
+        for i, p in enumerate(pcts):
+            h = (n - 1) * float(p)
+            frac = h - math.floor(h)
+            vlo = acc[kt][i]["lo"]
+            vhi = acc[kt][i]["hi"]
+            edges.append(vlo + frac * (vhi - vlo))
+        out_rows.append(kt + (edges,))
+    out_schema = T.StructType(
+        list(key_fields)
+        + [T.StructField("q", T.ArrayType(T.DoubleType()), True)]
     )
-    out = (
-        per_pct.select(
-            *keys,
-            "_i",
-            (
-                F.col("_vlo")
-                + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))
-            ).alias("_edge"),
-        )
-        .groupBy(*keys)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_i", "_edge"))),
-                lambda t: t._edge,
-            ).alias("q")
-        )
-    )
+    out = spark.createDataFrame(out_rows, out_schema)
     if dummy:
         out = out.drop("_gq_key")
     if return_domain:

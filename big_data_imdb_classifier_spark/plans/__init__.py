@@ -17,7 +17,9 @@ def load_all() -> None:
         queries_multimodal,
         queries_relational,
         queries_similarity,
+        queries_sources,
         queries_stats,
         queries_text,
         queries_tpch,
+        queries_tpch_ps,
     )

@@ -2295,3 +2295,10 @@ def event_pattern_regex_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_funnels")
     )
+
+# Render the constants into the docstring (help()/docs otherwise show
+# literal braces that silently drift from the values — ADVICE r6).
+event_pattern_regex_funnels.__doc__ = event_pattern_regex_funnels.__doc__.format(
+    _PAT_FUNNEL=_PAT_FUNNEL, _PAT_CLEAN=_PAT_CLEAN
+)
+

@@ -105,6 +105,11 @@ def zorder_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Render the constants into the docstring (help()/docs otherwise show
+# literal braces that silently drift from the values — ADVICE r6).
+zorder_bucket_profile.__doc__ = zorder_bucket_profile.__doc__.format(_Z_BITS=_Z_BITS)
+
 # ---------------------------------------------------------------------------
 # Bucketed co-located join + hive-partitioned pruned scan. The other two
 # write-side layout levers next to z-ordering: pay the shuffle / the
@@ -130,8 +135,19 @@ _BUCKETS = 8
 _built: dict[tuple[str, str, str], tuple] = {}
 
 
-def _tag(sf_dir: str) -> str:
-    return _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+def _tag(sf_dir: str, spark: SparkSession | None = None) -> str:
+    """Layout-cache tag. The applicationId is part of the tag (and hence
+    of every on-disk path and catalog table name) so two concurrent
+    sessions on the same sf_dir each get a private layout — one
+    session's DROP/overwrite can no longer yank files out from under
+    the other's bucketed or partitioned scan mid-query (ADVICE r6)."""
+    base = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    if spark is None:
+        return base
+    app = _re.sub(
+        r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId
+    ).strip("_")
+    return f"{base}_{app}"
 
 
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -140,7 +156,7 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (spark.sparkContext.applicationId, sf_dir, "bucketed")
     if key in _built:
         return _built[key]  # type: ignore[return-value]
-    tag = _tag(sf_dir)
+    tag = _tag(sf_dir, spark)
     base = _os.path.join(_LAYOUT_ROOT, tag)
     ot, lt = f"layout_orders_b{_BUCKETS}_{tag}", f"layout_lineitem_b{_BUCKETS}_{tag}"
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -161,7 +177,7 @@ def _ensure_partitioned(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir, "partitioned")
     if key in _built:
         return _built[key][0]  # type: ignore[return-value]
-    path = _os.path.join(_LAYOUT_ROOT, _tag(sf_dir), "events_by_day")
+    path = _os.path.join(_LAYOUT_ROOT, _tag(sf_dir, spark), "events_by_day")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -217,6 +233,11 @@ def layout_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+
+# Render the constants into the docstring (help()/docs otherwise show
+# literal braces that silently drift from the values — ADVICE r6).
+layout_bucketed_join_colocated.__doc__ = layout_bucketed_join_colocated.__doc__.format(_BUCKETS=_BUCKETS)
+
 _PRUNE_DAYS = ["2024-01-05", "2024-01-12", "2024-01-19"]
 _PRUNE_DAYS_SQL = "(" + ", ".join(f"'{d}'" for d in _PRUNE_DAYS) + ")"
 
@@ -265,7 +286,7 @@ def _ensure_orc(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir, "orc")
     if key in _built:
         return _built[key][0]  # type: ignore[return-value]
-    path = _os.path.join(_LAYOUT_ROOT, _tag(sf_dir), "events_orc")
+    path = _os.path.join(_LAYOUT_ROOT, _tag(sf_dir, spark), "events_orc")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

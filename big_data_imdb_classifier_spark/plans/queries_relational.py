@@ -1543,6 +1543,11 @@ def sql_recursive_cte_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Render the constants into the docstring (help()/docs otherwise show
+# literal braces that silently drift from the values — ADVICE r6).
+sql_recursive_cte_balance.__doc__ = sql_recursive_cte_balance.__doc__.format(_REC_STEPS=_REC_STEPS)
+
 _KANON_K = 5  # minimum group size for a quasi-identifier class
 
 

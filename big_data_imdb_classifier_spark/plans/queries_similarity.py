@@ -802,9 +802,11 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions (transform over document sub-slices, max,
     fold over query sub-slices), no explode, so the corpus scan stays
     one row per document and the only shuffle is the per-query top-k
-    ranking. At 100 TB the scale path is the same bucketed-candidate
-    route as the ANN queries (LSH/IVF shortlist, MaxSim as the exact
-    re-rank stage — precisely how late-interaction systems deploy)."""
+    ranking. At corpus scale (>= SIM.ANN_SWITCH_MIN_CORPUS) the IN-CODE
+    switch shortlists candidates through the IVF cell probe on the
+    full-width vector and MaxSim becomes the exact re-rank stage —
+    precisely how late-interaction systems deploy (shortlist on a
+    pooled/single-vector index, late interaction on the shortlist)."""
     emb = load_table(spark, sf_dir, "embeddings")
 
     def dot(a, b):
@@ -830,9 +832,16 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         subvecs(SIM.as_double("embedding")).alias("dsub"),
     )
-    pair = c.crossJoin(F.broadcast(q)).where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    if SIM.corpus_row_count(sf_dir) >= SIM.ANN_SWITCH_MIN_CORPUS:
+        cand = SIM.ivf_candidate_pairs(
+            emb, emb.where(F.col("vec_id") < N_QUERY_VECS),
+            SIM.corpus_row_count(sf_dir),
+        )
+        pair = cand.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+    else:
+        pair = c.crossJoin(F.broadcast(q)).where(
+            F.col("query_id") != F.col("neighbor_id")
+        )
     score = F.aggregate(
         F.col("qsub"),
         F.lit(0.0),
@@ -937,17 +946,34 @@ def knn_matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines accumulate dot products left-to-right, so ranks (and
     the hash) are exact matches, not approximate ones."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # In-code scale switch (round 7): above the corpus threshold every
+    # width — full and truncated — re-ranks the SAME full-width IVF
+    # shortlist instead of broadcast-scanning the corpus per width
+    # (shortlist-relative recall, the deployed Matryoshka shape: the
+    # prefix index serves candidates, full width re-ranks). Below it
+    # (every driver SF) the exact plans and their oracle stand.
+    cand = None
+    if SIM.corpus_row_count(sf_dir) >= SIM.ANN_SWITCH_MIN_CORPUS:
+        cand = SIM.ivf_candidate_pairs(
+            emb, emb.where(F.col("vec_id") < N_QUERY_VECS),
+            SIM.corpus_row_count(sf_dir),
+        )
+
+    def _topk(vectors):
+        queries = vectors.where(F.col("vec_id") < N_QUERY_VECS)
+        if cand is not None:
+            return SIM.topk_cosine_over_pairs(cand, vectors, queries, k=TOP_K)
+        return SIM.knn_exact_cosine(vectors, queries, k=TOP_K)
+
     full = (
-        SIM.knn_exact_cosine(emb, emb.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
+        _topk(emb)
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )
     frames = []
     for d in _MRL_DIMS:
         t = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        tk = SIM.knn_exact_cosine(
-            t, t.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K
-        )
+        tk = _topk(t)
         frames.append(
             tk.select(F.lit(d).alias("dim"), "query_id", "neighbor_id")
         )
@@ -968,6 +994,11 @@ def knn_matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dim")
     )
 
+
+
+# Render the constants into the docstring (help()/docs otherwise show
+# literal braces that silently drift from the values — ADVICE r6).
+knn_matryoshka_dim_recall.__doc__ = knn_matryoshka_dim_recall.__doc__.format(TOP_K=TOP_K, _MRL_DIMS=_MRL_DIMS)
 
 # ---------------------------------------------------------------------------
 # Contrastive hard-negative mining: for each query vector, the nearest
@@ -1019,8 +1050,13 @@ def knn_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus pass, one ranking shuffle) with the label-mismatch
     predicate evaluated as a join residual BEFORE any similarity math,
     so same-label candidates never reach the dot product. At corpus
-    scale the ANN shortlist (knn_ann_ivf) replaces the exact pass and
-    this becomes its re-rank filter."""
+    scale (>= SIM.ANN_SWITCH_MIN_CORPUS rows, footer-metadata check, no
+    job) the IN-CODE switch replaces the exact pass with the IVF
+    cell-probe shortlist and this scoring becomes its re-rank filter —
+    tests/test_similarity.py proves the fired switch drops the
+    BroadcastNestedLoopJoin from the plan and holds a recall floor vs
+    the exact result; every driver SF stays far below the threshold, so
+    the oracle pins the exact path."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -1034,11 +1070,23 @@ def knn_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    sims = c.join(
-        F.broadcast(q),
-        (F.col("query_id") != F.col("neighbor_id"))
-        & (F.col("_ql") != F.col("neg_label")),
-    ).select(
+    if SIM.corpus_row_count(sf_dir) >= SIM.ANN_SWITCH_MIN_CORPUS:
+        cand = SIM.ivf_candidate_pairs(
+            emb, emb.where(F.col("vec_id") < N_QUERY_VECS),
+            SIM.corpus_row_count(sf_dir),
+        )
+        sims = (
+            cand.join(F.broadcast(q), "query_id")
+            .join(c, "neighbor_id")
+            .where(F.col("_ql") != F.col("neg_label"))
+        )
+    else:
+        sims = c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("_ql") != F.col("neg_label")),
+        )
+    sims = sims.select(
         "query_id",
         "neighbor_id",
         "neg_label",

@@ -5,8 +5,9 @@ no partsupp table, no l_commitdate / l_receiptdate / l_shipmode /
 o_shippriority columns — so each query below is the standard TPC-H
 shape re-targeted at the columns that exist (adaptations noted per
 query). Q1 already ships as ``pricing_summary`` (queries_relational.py);
-queries needing the absent partsupp table (Q2, Q9, Q11, Q16, Q20) are out
-of scope — there is no faithful substitute for ps_supplycost/ps_availqty.
+queries needing the partsupp table (Q2, Q9, Q11, Q16, Q20) live in
+queries_tpch_ps.py over a deterministically DERIVED partsupp (round 7),
+so the full 22-query suite is now covered.
 Q12/Q21/Q22 ARE here, adapted the way Q4 already is: "late" is re-defined
 from the columns that exist (shipped > N days after the order date, since
 l_commitdate/l_receiptdate are absent), Q12's shipmode grouping becomes

@@ -54,7 +54,11 @@ class SyntheticEventsDataSource(DataSource):
     """``spark.read.format("synthetic_events")`` batch source.
 
     Options: ``rows`` (total, default 1000), ``partitions`` (default 8),
-    ``seed`` (default 0), ``users`` (key cardinality, default 100).
+    ``seed`` (default 0), ``users`` (key cardinality, default 100),
+    ``zipf`` (default 0: uniform user keys; 1: Zipf s≈1 head-heavy keys
+    — the hottest user draws ~1/ln(users) of ALL events, the shape that
+    breaks per-key windows and sort-merge joins at scale; used by the
+    skew rehearsal, tools/scale_rehearsal.py).
     """
 
     @classmethod
@@ -80,6 +84,7 @@ class SyntheticEventsReader(DataSourceReader):
         self.num_partitions = int(options.get("partitions", 8))
         self.seed = int(options.get("seed", 0))
         self.users = int(options.get("users", 100))
+        self.zipf = int(options.get("zipf", 0))
 
     def partitions(self) -> Sequence[InputPartition]:
         # Even row-range split; each partition is self-describing so the
@@ -91,15 +96,27 @@ class SyntheticEventsReader(DataSourceReader):
         lo = self.rows * i // self.num_partitions
         hi = self.rows * (i + 1) // self.num_partitions
         for rid in range(lo, hi):
-            yield _row_for(rid, self.seed, self.users)
+            yield _row_for(rid, self.seed, self.users, self.zipf)
 
 
-def _row_for(rid: int, seed: int, users: int) -> tuple:
+def _zipf_rank(h: int, users: int) -> int:
+    """Deterministic Zipf(s≈1) key from a 64-bit hash: the classic
+    log-inverse sampler — rank = ⌊e^(u·ln(U+1))⌋ − 1 for u ∈ [0,1) gives
+    P(rank = k) = ln(1 + 1/(k+1)) / ln(U+1) ≈ 1/(k+1): user 0 draws
+    ~1/ln(U) of all events, the canonical hot-key shape. Pure function
+    of the hash — partition-order independent like every other field."""
+    import math
+
+    u = (h >> 11) / float(1 << 53)  # 53-bit mantissa-exact uniform
+    return min(users - 1, int(math.exp(u * math.log(users + 1.0))) - 1)
+
+
+def _row_for(rid: int, seed: int, users: int, zipf: int = 0) -> tuple:
     """One deterministic event row — shared by the batch and stream
     readers so a drained stream equals the equivalent batch read."""
     h = splitmix64(rid ^ (seed * 0x9E3779B97F4A7C15 & _MASK))
     ts = _EPOCH + _dt.timedelta(seconds=h % (30 * 86400))
-    user = (h >> 24) % users
+    user = _zipf_rank(h, users) if zipf else (h >> 24) % users
     etype = EVENT_TYPES[(h >> 8) % len(EVENT_TYPES)]
     value = round(((h >> 16) % 100000) / 100.0, 2)
     return (rid, ts, user, etype, value)

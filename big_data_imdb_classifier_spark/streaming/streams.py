@@ -428,7 +428,10 @@ _PATTERN_STATE = T.StructType([T.StructField("seq", T.StringType(), True)])
 
 
 def pattern_funnel_stream(
-    events: DataFrame, watermark: str = "2 hours", max_len: int = 4096
+    events: DataFrame,
+    watermark: str = "2 hours",
+    max_len: int = 4096,
+    idle_retention_ms: int = 24 * 3600 * 1000,
 ) -> DataFrame:
     """Streaming row-pattern matching — the stateful twin of the batch
     ``event_pattern_regex_funnels`` query: per user, the coded event
@@ -436,12 +439,18 @@ def pattern_funnel_stream(
     re-emits the user's current non-overlapping ``vc*p`` funnel count
     and error-free flag.
 
-    State is ONE bounded string per user (``max_len`` tail retention —
-    the explicit eviction policy a per-key unbounded accumulator needs
-    at 100 TB; a funnel window longer than that belongs to the batch
-    path). Events are ordered by (ts, event_id) within each batch, so a
-    single availableNow drain reproduces the batch result exactly
-    (asserted in tests/test_streaming.py)."""
+    State is bounded on BOTH axes (the two ways a per-key accumulator
+    blows up at 100 TB): per-key size by the ``max_len`` tail retention,
+    and key COUNT by an event-time timeout — each update arms a timeout
+    at (current watermark + ``idle_retention_ms``), so a user with no
+    events for that long past the watermark is evicted instead of
+    lingering forever (the round-6 ADVICE leak). Multi-batch caveats
+    stay documented: the ``max_len`` truncation and watermark late-drop
+    mean exact drain-equals-batch parity is guaranteed only for the
+    single availableNow drain the parity test drives (events ordered by
+    (ts, event_id) within the batch); longer-lived runs trade exactness
+    at those two edges for bounded state, which is the correct side of
+    the trade for an unbounded stream."""
     import re as _re
 
     import pandas as pd
@@ -451,6 +460,10 @@ def pattern_funnel_stream(
     clean_pat = _re.compile("v[^e]*p")
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # Idle past the retention horizon: drop the key entirely.
+            state.remove()
+            return
         seq = state.get[0] if state.exists else ""
         frames = list(pdfs)
         if frames:
@@ -458,6 +471,12 @@ def pattern_funnel_stream(
             seq += "".join(pdf["event_type"].astype(str).str[0])
         seq = seq[-max_len:]
         state.update((seq,))
+        # Re-arm eviction relative to the CURRENT watermark so the
+        # timeout only fires after the user has been idle for the full
+        # retention window in event time.
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + idle_retention_ms
+        )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -474,6 +493,6 @@ def pattern_funnel_stream(
             outputStructType=_PATTERN_OUT,
             stateStructType=_PATTERN_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -714,3 +714,44 @@ def test_xml_round_trip_explicit_schema(spark, tmp_path):
     inferred = load_xml(spark, path, row_tag="nation")
     assert set(inferred.columns) == {"n_nationkey", "n_name", "n_regionkey"}
     assert inferred.count() == nat.count()
+
+
+def test_synthetic_events_zipf_keys(spark):
+    """zipf=1 draws Zipf(s≈1) user keys for the skew rehearsal: the hot
+    key holds ~1/ln(U) of all rows (vs ~1/U uniform), the key domain is
+    unchanged, rows stay deterministic across reads and partitionings,
+    and every non-key field is identical to the uniform read (the zipf
+    option touches ONLY the user_id draw)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.sources import pyds
+
+    pyds.register(spark)
+
+    def load(zipf, partitions=8):
+        return (
+            spark.read.format("synthetic_events")
+            .option("rows", 20_000).option("seed", 3)
+            .option("users", 500).option("partitions", partitions)
+            .option("zipf", zipf).load()
+        )
+
+    z = load(1)
+    top = z.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    expected_hot = 20_000 * math.log(2) / math.log(501)
+    # hot key ≈ ln(2)/ln(U+1) of rows; allow wide statistical slack but
+    # demand an order of magnitude over the uniform share (40 rows)
+    assert top["user_id"] == 0
+    assert top["count"] > 10 * (20_000 // 500)
+    assert abs(top["count"] - expected_hot) / expected_hot < 0.25
+    assert z.agg(F.max("user_id")).first()[0] < 500
+    # determinism across partitionings
+    z2 = load(1, partitions=3)
+    assert z.exceptAll(z2).count() == 0 and z2.exceptAll(z).count() == 0
+    # non-key fields identical to the uniform draw
+    u = load(0)
+    assert (
+        z.drop("user_id").exceptAll(u.drop("user_id")).count() == 0
+    )

@@ -92,6 +92,16 @@ CROSS_WHITELIST = {
     # label-mismatch join residual (5 query rows)
     "vocab_coverage_curve",         # 3-row coverage-level probe BNLJ onto
     # the vocab-sized ranked frequency table (constant-size broadcast side)
+    # The five partsupp-backed TPC-H queries: the derived partsupp table
+    # (plans/queries_tpch_ps.py) seeds its dbgen supplier-association
+    # formula with the 1-row supplier-count scalar broadcast; Q11
+    # additionally broadcasts its 1-row HAVING-threshold aggregate (the
+    # standard scalar-subquery shape, as tpch_q22).
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_potential_part_promotion",
 }
 
 

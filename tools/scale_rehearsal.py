@@ -181,6 +181,13 @@ RELATIONAL_QUERIES = [
     "dq_k_anonymity_profile",
     "stats_corr_matrix",
     "stats_trend_forecast_by_nation",
+    # round-7 additions: the partsupp-backed TPC-H five (derived-table
+    # joins; partsupp cardinality tracks part x 4 + observed lineitem pairs)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_potential_part_promotion",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -293,12 +300,12 @@ BYTE_SENSITIVE = {
     "corpus_curation_e2e",      # fingerprint+minhash stages inside
     "text_entropy_kl_by_source",  # per-character distribution
     "bpe_merge1_gate",          # char-pair explode per distinct word
-    "dsir_importance_select",
+    "dsir_importance_select",   # per-occurrence bigram-string hashing
     "text_bm25_topk",
     "dedup_incremental_new_vs_corpus",
     "quality_blocklist_filter",
     "text_ngram_novelty_score",
-    "vocab_coverage_curve",   # per-occurrence bigram-string hashing
+    "vocab_coverage_curve",     # token-frequency rollup
 }
 
 
@@ -698,12 +705,153 @@ def main() -> None:
                 }
             )
 
+    # SKEW DECADE (round 7, VERDICT r6 task 6): every corpus above is
+    # UNIFORM-keyed, so the engine's skew-handling claims (salted
+    # count-enrich, AQE skew-join) had never been proven on skewed DATA.
+    # The events DataSource's zipf=1 option draws user keys Zipf(s≈1)
+    # (hot user ≈ 1/ln(U) of ALL rows — ~6% here); two decades are
+    # materialized to parquet once and three head-to-heads run on them:
+    # the naive one-window count-enrich vs the salted two-phase variant
+    # (hot key spread over 16 salt buckets), and a forced sort-merge
+    # fact⋈dim join with AQE skew-split on vs off. Ratios across the
+    # decade ride the same 0-supralinear gate as every other family.
+    skew_rows = []
+    force_skew = "--skew" in sys.argv
+    if not only_named or force_skew:
+        from pyspark.sql import functions as F
+
+        from big_data_imdb_classifier_spark.operators.relational import (
+            count_enrich,
+            count_enrich_salted,
+        )
+        from big_data_imdb_classifier_spark.sources import pyds
+
+        pyds.register(spark)
+        _SKEW_SMALL, _SKEW_BIG = 1_000_000, 10_000_000
+
+        def _zipf_dir(rows_n: int) -> str:
+            path = os.path.join(base_dir, f"events_zipf_{rows_n}")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                t0 = time.perf_counter()
+                (
+                    spark.read.format("synthetic_events")
+                    .option("rows", rows_n)
+                    .option("partitions", 64)
+                    .option("seed", 1)
+                    .option("users", rows_n * 15 // 1000)
+                    .option("zipf", 1)
+                    .load()
+                    .write.mode("overwrite")
+                    .parquet(path)
+                )
+                print(
+                    f"built zipf events ({rows_n} rows) in "
+                    f"{time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
+            return path
+
+        def _t(build) -> float:
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            return round(time.perf_counter() - t0, 3)
+
+        small, big = _zipf_dir(_SKEW_SMALL), _zipf_dir(_SKEW_BIG)
+        ev = {p: spark.read.parquet(p) for p in (small, big)}
+        # recorded hot-key mass so the artifact shows the skew is real
+        hot = (
+            ev[big].groupBy("user_id").count()
+            .orderBy(F.desc("count")).first()
+        )
+
+        def _dim(p):
+            # per-user dim (1 row per user) — forced-merge join target
+            return ev[p].select("user_id").distinct().withColumn(
+                "segment", F.pmod(F.col("user_id"), F.lit(7))
+            )
+
+        def _skew_join(p, enabled: bool):
+            def build():
+                spark.conf.set(
+                    "spark.sql.adaptive.skewJoin.enabled",
+                    "true" if enabled else "false",
+                )
+                # merge hint: keep the sort-merge shape (the dim would
+                # otherwise broadcast and hide the skewed shuffle)
+                return (
+                    ev[p].hint("merge")
+                    .join(_dim(p).hint("merge"), "user_id")
+                    .groupBy("segment")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("value").alias("v"))
+                )
+
+            return build
+
+        skew_cases = {
+            "skew_count_enrich_window_naive": lambda p: (
+                lambda: count_enrich(ev[p], "user_id", "n_events")
+            ),
+            "skew_count_enrich_salted": lambda p: (
+                lambda: count_enrich_salted(ev[p], "user_id", "n_events")
+            ),
+            "skew_smj_join_aqe_skew_on": lambda p: _skew_join(p, True),
+            "skew_smj_join_aqe_skew_off": lambda p: _skew_join(p, False),
+        }
+        try:
+            for name, mk in skew_cases.items():
+                _t(mk(small))  # warm (JIT + page cache)
+                t_s = round(sorted(_t(mk(small)) for _ in range(3))[1], 3)
+                t_b = round(_t(mk(big)), 3)
+                ratio = round(t_b / max(t_s, 1e-9), 2)
+                retried = False
+                if ratio > SUPRALINEAR_RATIO:
+                    t_b = round(min(t_b, _t(mk(big))), 3)
+                    ratio = round(t_b / max(t_s, 1e-9), 2)
+                    retried = True
+                skew_rows.append(
+                    {
+                        "query": name,
+                        "sec": {"1m": t_s, "10m": t_b},
+                        "growth_10x": ratio,
+                        "supralinear": ratio > SUPRALINEAR_RATIO,
+                        **({"retried": True} if retried else {}),
+                    }
+                )
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        by_name = {r["query"]: r for r in skew_rows}
+        skew_summary = {
+            "hot_user_id": hot["user_id"],
+            "hot_user_rows": hot["count"],
+            "hot_user_frac_10m": round(hot["count"] / _SKEW_BIG, 4),
+            "salted_vs_naive_10m": round(
+                by_name["skew_count_enrich_salted"]["sec"]["10m"]
+                / max(by_name["skew_count_enrich_window_naive"]["sec"]["10m"],
+                      1e-9),
+                3,
+            ) if {"skew_count_enrich_salted",
+                  "skew_count_enrich_window_naive"} <= by_name.keys() else None,
+            "aqe_skew_on_vs_off_10m": round(
+                by_name["skew_smj_join_aqe_skew_on"]["sec"]["10m"]
+                / max(by_name["skew_smj_join_aqe_skew_off"]["sec"]["10m"],
+                      1e-9),
+                3,
+            ) if {"skew_smj_join_aqe_skew_on",
+                  "skew_smj_join_aqe_skew_off"} <= by_name.keys() else None,
+        }
+    else:
+        skew_summary = None
+
     out = {
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "reps": REPS,
         "text_byte_factor": byte_factor,
         "rows": rows,
         "sf10_synthetic_rows": sf10_rows,
+        "skew_rows": skew_rows,
+        "skew_summary": skew_summary,
     }
     out_path = _flag_value("--out")
     if out_path:
@@ -721,8 +869,18 @@ def main() -> None:
             f"{r['sec']['1']:7.2f} {r['sec']['10']:7.2f} "
             f"x{r['growth_10x']:<5} {r['query']} [sf10 synthetic]{flag}"
         )
-    n_bad = sum(r["supralinear"] for r in rows) + sum(
-        r["supralinear"] for r in sf10_rows
+    for r in skew_rows:
+        flag = "  <-- SUPRALINEAR" if r["supralinear"] else ""
+        print(
+            f"{r['sec']['1m']:7.2f} {r['sec']['10m']:7.2f} "
+            f"x{r['growth_10x']:<5} {r['query']} [zipf skew]{flag}"
+        )
+    if skew_summary:
+        print("skew summary:", json.dumps(skew_summary))
+    n_bad = (
+        sum(r["supralinear"] for r in rows)
+        + sum(r["supralinear"] for r in sf10_rows)
+        + sum(r["supralinear"] for r in skew_rows)
     )
     print(
         json.dumps(
