@@ -55,10 +55,11 @@ class SyntheticEventsDataSource(DataSource):
 
     Options: ``rows`` (total, default 1000), ``partitions`` (default 8),
     ``seed`` (default 0), ``users`` (key cardinality, default 100),
-    ``zipf`` (default 0: uniform user keys; 1: Zipf s≈1 head-heavy keys
-    — the hottest user draws ~1/ln(users) of ALL events, the shape that
-    breaks per-key windows and sort-merge joins at scale; used by the
-    skew rehearsal, tools/scale_rehearsal.py).
+    ``zipf`` (default 0: uniform user keys; 1: Zipf s≈1 — hot user
+    ~1/ln(users) of ALL events; 2: HEAVY Zipf s=1.5 — hot user ~29% of
+    all events, the shape that breaks per-key windows and sort-merge
+    joins at scale; used by the skew rehearsal,
+    tools/scale_rehearsal.py).
     """
 
     @classmethod
@@ -99,15 +100,26 @@ class SyntheticEventsReader(DataSourceReader):
             yield _row_for(rid, self.seed, self.users, self.zipf)
 
 
-def _zipf_rank(h: int, users: int) -> int:
-    """Deterministic Zipf(s≈1) key from a 64-bit hash: the classic
-    log-inverse sampler — rank = ⌊e^(u·ln(U+1))⌋ − 1 for u ∈ [0,1) gives
+def _zipf_rank(h: int, users: int, mode: int) -> int:
+    """Deterministic Zipf key from a 64-bit hash; pure function of the
+    hash, so partition-order independent like every other field.
+
+    mode 1 — Zipf(s≈1), the classic log-inverse sampler:
+    rank = ⌊e^(u·ln(U+1))⌋ − 1 for u ∈ [0,1) gives
     P(rank = k) = ln(1 + 1/(k+1)) / ln(U+1) ≈ 1/(k+1): user 0 draws
-    ~1/ln(U) of all events, the canonical hot-key shape. Pure function
-    of the hash — partition-order independent like every other field."""
+    ~1/ln(U) of all events (~6% at U=150k).
+
+    mode 2 — HEAVY Zipf(s=1.5) via the Pareto inverse
+    rank = ⌊u^(−1/(s−1))⌋ − 1 = ⌊u^−2⌋ − 1 (tail P(rank ≥ k) = k^−½):
+    user 0 draws ~29% of ALL rows regardless of U — the hot-key mass
+    that actually breaks per-key windows and sort-merge partitions, so
+    mitigation head-to-heads measure a real straggler, not noise."""
     import math
 
     u = (h >> 11) / float(1 << 53)  # 53-bit mantissa-exact uniform
+    if mode >= 2:
+        u = max(u, 1e-12)  # guard the pole at u=0
+        return min(users - 1, int(u ** -2.0) - 1)
     return min(users - 1, int(math.exp(u * math.log(users + 1.0))) - 1)
 
 
@@ -116,7 +128,7 @@ def _row_for(rid: int, seed: int, users: int, zipf: int = 0) -> tuple:
     readers so a drained stream equals the equivalent batch read."""
     h = splitmix64(rid ^ (seed * 0x9E3779B97F4A7C15 & _MASK))
     ts = _EPOCH + _dt.timedelta(seconds=h % (30 * 86400))
-    user = _zipf_rank(h, users) if zipf else (h >> 24) % users
+    user = _zipf_rank(h, users, zipf) if zipf else (h >> 24) % users
     etype = EVENT_TYPES[(h >> 8) % len(EVENT_TYPES)]
     value = round(((h >> 16) % 100000) / 100.0, 2)
     return (rid, ts, user, etype, value)

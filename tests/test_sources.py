@@ -755,3 +755,8 @@ def test_synthetic_events_zipf_keys(spark):
     assert (
         z.drop("user_id").exceptAll(u.drop("user_id")).count() == 0
     )
+    # heavy mode (s=1.5, Pareto inverse): hot key ~29% of ALL rows
+    h = load(2)
+    htop = h.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    assert htop["user_id"] == 0
+    assert abs(htop["count"] / 20_000 - 0.29) < 0.05

@@ -708,8 +708,8 @@ def main() -> None:
     # SKEW DECADE (round 7, VERDICT r6 task 6): every corpus above is
     # UNIFORM-keyed, so the engine's skew-handling claims (salted
     # count-enrich, AQE skew-join) had never been proven on skewed DATA.
-    # The events DataSource's zipf=1 option draws user keys Zipf(s≈1)
-    # (hot user ≈ 1/ln(U) of ALL rows — ~6% here); two decades are
+    # The events DataSource's zipf=2 option draws user keys Zipf(s=1.5)
+    # (hot user ≈ 29% of ALL rows); two decades are
     # materialized to parquet once and three head-to-heads run on them:
     # the naive one-window count-enrich vs the salted two-phase variant
     # (hot key spread over 16 salt buckets), and a forced sort-merge
@@ -730,7 +730,7 @@ def main() -> None:
         _SKEW_SMALL, _SKEW_BIG = 1_000_000, 10_000_000
 
         def _zipf_dir(rows_n: int) -> str:
-            path = os.path.join(base_dir, f"events_zipf_{rows_n}")
+            path = os.path.join(base_dir, f"events_zipf15_{rows_n}")
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 t0 = time.perf_counter()
                 (
@@ -739,7 +739,7 @@ def main() -> None:
                     .option("partitions", 64)
                     .option("seed", 1)
                     .option("users", rows_n * 15 // 1000)
-                    .option("zipf", 1)
+                    .option("zipf", 2)
                     .load()
                     .write.mode("overwrite")
                     .parquet(path)
@@ -764,12 +764,49 @@ def main() -> None:
             ev[big].groupBy("user_id").count()
             .orderBy(F.desc("count")).first()
         )
+        # Scale the session confs to the rehearsal's absolute size: at
+        # 10M rows the hot key (~580k rows ≈ 25 MB) never crosses AQE's
+        # production defaults (256 MB threshold, 5x-median factor) even
+        # though it is a genuine 15x-median straggler once partitions
+        # are sized the way a 100 TB job's would be (many partitions,
+        # each a small fraction of the data). 256 shuffle partitions +
+        # MB-scale skew thresholds reproduce at MB what a real corpus
+        # crosses at GB; the on/off runs share every conf except
+        # `enabled` itself.
+        _skew_confs = {
+            "spark.sql.shuffle.partitions": "256",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "4m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        }
+        _prev_confs = {
+            k: spark.conf.get(k, None) for k in _skew_confs
+        }
+        for k, v in _skew_confs.items():
+            spark.conf.set(k, v)
 
         def _dim(p):
-            # per-user dim (1 row per user) — forced-merge join target
-            return ev[p].select("user_id").distinct().withColumn(
-                "segment", F.pmod(F.col("user_id"), F.lit(7))
-            )
+            # per-user dim, MATERIALIZED to parquet: deriving it inline
+            # (distinct + project) leaves a HashAggregate between the
+            # dim's exchange and its Sort, and OptimizeSkewedJoin's
+            # pattern — a plain shuffle stage directly under each side's
+            # Sort — then never matches, so the split silently never
+            # fires (measured: identical on/off timings, 0 skew marks in
+            # the final plan). A pre-materialized dim joins as two plain
+            # scans and the split fires. At 100 TB the same rule applies:
+            # feed skew-prone SMJs from materialized/rebalanced inputs,
+            # not from plans with aggregates fused onto the build side.
+            path = os.path.join(base_dir, f"zipf_dim_{os.path.basename(p)}")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                (
+                    ev[p].select("user_id").distinct()
+                    .withColumn(
+                        "segment", F.pmod(F.col("user_id"), F.lit(7))
+                    )
+                    .write.mode("overwrite").parquet(path)
+                )
+            return spark.read.parquet(path)
 
         def _skew_join(p, enabled: bool):
             def build():
@@ -821,6 +858,11 @@ def main() -> None:
                 )
         finally:
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            for k, v in _prev_confs.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         by_name = {r["query"]: r for r in skew_rows}
         skew_summary = {
             "hot_user_id": hot["user_id"],
