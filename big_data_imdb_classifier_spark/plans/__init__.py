@@ -13,6 +13,7 @@ def load_all() -> None:
         queries_events,
         queries_graph,
         queries_layout,
+        queries_linkage,
         queries_ml,
         queries_multimodal,
         queries_relational,

@@ -640,3 +640,263 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "source", "log_w", "score")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (round 7): the character-level dedup of
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better" (arXiv:2107.06499), re-expressed for a shuffle engine. The
+# paper builds a suffix array to find every repeated substring >= 50
+# chars; a suffix array is a single-machine structure, so the
+# distributed standard is the strided fixed-width span fingerprint:
+# every W-char window at stride S is hashed, and a window value seen in
+# two DIFFERENT documents marks a cross-document repeated span. Any
+# repeat of length >= W + S - 1 is guaranteed to contain at least one
+# full grid-aligned window in both copies, so recall is complete for
+# spans of that length (shorter repeats down to W are caught when the
+# grids happen to align — the documented stride tradeoff).
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 60  # span width (chars) — the paper's 50, rounded to grid
+_SPAN_S = 15  # stride: recall-complete for repeats >= W + S - 1 = 74
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id, source, substr(text, {_SPAN_S} * i + 1, {_SPAN_W}) AS sp
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+                      0, (length(text) - {_SPAN_W}) // {_SPAN_S})) AS i)
+      WHERE length(text) >= {_SPAN_W}
+    ),
+    dupval AS (
+      SELECT sp FROM spans GROUP BY sp
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.source,
+             count(*) AS n_spans,
+             count(d.sp) AS n_dup_spans
+      FROM spans s LEFT JOIN dupval d ON d.sp = s.sp
+      GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           SUM(n_spans)::BIGINT AS n_spans,
+           SUM(n_dup_spans)::BIGINT AS n_dup_spans,
+           COUNT(*) FILTER (n_dup_spans > 0)::BIGINT AS n_docs_affected,
+           ROUND(SUM(n_dup_spans) * 1.0 / SUM(n_spans), {ROUND_DIGITS})
+             AS dup_frac
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection (Lee et al. 2022
+    shape): strided {_SPAN_W}-char window fingerprints; a window value
+    occurring in >= 2 distinct documents marks a repeated span; rollup
+    per source of span counts, duplicated-span mass, and affected docs.
+
+    Scale shape: the span explode is a JVM sequence+substring projection
+    (corpus_chars/{_SPAN_S} rows, no Python); the duplicate test is ONE
+    shuffle keyed by the span value (partial aggregation collapses
+    same-partition repeats map-side); the doc-level rollup joins the
+    tiny duplicated-value set back by hash join. Nothing is quadratic:
+    shuffle volume tracks total text volume, exactly like the MinHash
+    banding — this is the exact-substring complement to those
+    similarity-level passes, catching verbatim boilerplate/licenses/
+    templates that near-dup banding treats as distinct documents."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    spans = (
+        docs.where(F.length("text") >= _SPAN_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.length("text") - _SPAN_W) / _SPAN_S).cast(
+                        "int"
+                    ),
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.substring(
+                F.col("text"), F.col("i") * _SPAN_S + 1, _SPAN_W
+            ).alias("sp"),
+        )
+    )
+    dupval = (
+        spans.groupBy("sp")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("sp")
+    )
+    flagged = (
+        spans.join(dupval.withColumn("_dup", F.lit(1)), "sp", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("_dup").alias("n_dup_spans"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_dup_spans").alias("n_dup_spans"),
+            F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.round(
+                F.sum("n_dup_spans") / F.sum("n_spans"), ROUND_DIGITS
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# Render the constants into the docstring (ADVICE r6 convention).
+dedup_substring_spans.__doc__ = dedup_substring_spans.__doc__.format(
+    _SPAN_W=_SPAN_W, _SPAN_S=_SPAN_S
+)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level cross-document dedup (round 7): pretraining/RAG pipelines
+# chunk documents into token windows BEFORE embedding or packing, and
+# dedup at CHUNK granularity — a chunk repeated across documents (shared
+# boilerplate, quoted passages) is dropped once, even though neither
+# containing document is a duplicate. Composes the doc_chunk_sliding
+# fan-out with the dedup_exact fingerprint survivor rule at the finer
+# granularity.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKS = 32
+_CHUNK_STRIDE = 16
+
+
+@query(
+    "chunk_dedup_cross_doc",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_slice(t, {_CHUNK_STRIDE} * i + 1,
+                          {_CHUNK_STRIDE} * i + {_CHUNK_TOKS}), ' ')
+               AS chunk
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(
+                      0, greatest(len(t) - {_CHUNK_TOKS}, 0)
+                         // {_CHUNK_STRIDE})) AS i)
+      WHERE len(t) >= {_CHUNK_TOKS}
+    ),
+    per_chunk AS (
+      SELECT chunk,
+             count(*) AS n_copies,
+             count(DISTINCT doc_id) AS n_docs,
+             min(doc_id) AS survivor_doc
+      FROM chunks GROUP BY chunk
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_chunk_instances,
+           count(*) FILTER (pc.n_docs >= 2)::BIGINT AS n_cross_doc_dups,
+           count(*) FILTER (pc.n_docs >= 2
+                            AND c.doc_id <> pc.survivor_doc)::BIGINT
+             AS n_dropped,
+           SUM(length(c.chunk))
+             FILTER (pc.n_docs >= 2 AND c.doc_id <> pc.survivor_doc)
+             ::BIGINT AS bytes_dropped
+    FROM chunks c JOIN per_chunk pc ON pc.chunk = c.chunk
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def chunk_dedup_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup: slide {_CHUNK_TOKS}-token windows at
+    stride {_CHUNK_STRIDE} over every document, fingerprint each chunk,
+    and apply the min-doc_id survivor rule to chunks that appear in
+    >= 2 distinct documents; per-source rollup of instances, cross-doc
+    duplicates, dropped copies, and bytes saved.
+
+    Scale shape: tokenization and window slicing are in-row JVM array
+    ops (split + slice — no Python, no per-token explode); the chunk
+    fan-out is corpus_tokens/{_CHUNK_STRIDE} rows; ONE shuffle keyed by
+    the chunk value computes copies/distinct-docs/survivor in a single
+    aggregate, and the classification joins back by hash. min-doc_id
+    survivorship makes the drop decision deterministic and idempotent —
+    re-running over the deduped corpus drops nothing (the fixpoint
+    property dedup_exact pins at document level, here at chunk level,
+    where RAG/pretraining pipelines actually dedup)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    chunks = (
+        docs.where(F.size("t") >= _CHUNK_TOKS)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.size("t") - _CHUNK_TOKS) / _CHUNK_STRIDE
+                    ).cast("int"),
+                )
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.col("i") * _CHUNK_STRIDE + 1,
+                    _CHUNK_TOKS,
+                ),
+            ).alias("chunk"),
+        )
+    )
+    per_chunk = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("survivor_doc"),
+    )
+    dup = F.col("n_docs") >= 2
+    dropped = dup & (F.col("doc_id") != F.col("survivor_doc"))
+    return (
+        chunks.join(per_chunk, "chunk")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunk_instances"),
+            F.sum(F.when(dup, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_doc_dups"),
+            F.sum(F.when(dropped, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(dropped, F.length("chunk")))
+            .cast("long")
+            .alias("bytes_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+chunk_dedup_cross_doc.__doc__ = chunk_dedup_cross_doc.__doc__.format(
+    _CHUNK_TOKS=_CHUNK_TOKS, _CHUNK_STRIDE=_CHUNK_STRIDE
+)

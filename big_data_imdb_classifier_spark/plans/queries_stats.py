@@ -1253,3 +1253,80 @@ def stats_trend_forecast_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in frequent-items sketch (round 7): Spark 4's ``approx_top_k``
+# aggregate — the engine-native complement to the hand-built
+# Misra-Gries pass (heavy_hitters_mg_tokens, which proves the
+# ALGORITHM); this query pins the BUILT-IN's semantics (item/count
+# struct array) under the same hash gate.
+# ---------------------------------------------------------------------------
+
+_ATK_K = 10
+_ATK_FETCH = 64      # > |vocab| at every driver SF (31): the sketch
+# returns EVERY item, so counts are exact and the top-10 cut happens
+# OUTSIDE the sketch under a deterministic (count, token) order —
+# internal tie order at the sketch's own cut can never flip the hash.
+_ATK_TRACKED = 10_000  # capacity >= cardinality => no eviction => exact
+
+
+@query(
+    "sketch_approx_top_k_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
+    )
+    SELECT row_number() OVER (ORDER BY cnt DESC, token)::BIGINT AS rank,
+           token, cnt
+    FROM counts
+    ORDER BY cnt DESC, token
+    LIMIT {_ATK_K}
+    """,
+)
+def sketch_approx_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters through the engine-native ``approx_top_k``
+    sketch, hash-pinned against the exact token counts.
+
+    Exactness argument (what makes a sketch hash-pinnable): with
+    ``maxItemsTracked`` ≥ the token cardinality nothing is ever
+    evicted, so every reported count is exact and merge-order
+    independent; fetching more items than the cardinality moves the
+    top-{_ATK_K} cut out of the sketch into an explicit
+    (count DESC, token) sort, so sketch-internal tie ordering cannot
+    leak into the result. At 100 TB the same query runs with capacity
+    below the cardinality: counts gain the documented Misra-Gries-style
+    ≤ n/capacity undercount and the gate becomes the exact-recount
+    pattern of heavy_hitters_mg_tokens (broadcast the candidate set,
+    recount exactly) — the sketch's job is candidate SELECTION, which
+    one aggregation pass does without ever shuffling the full
+    vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    sk = toks.agg(
+        F.expr(
+            f"approx_top_k(token, {_ATK_FETCH}, {_ATK_TRACKED})"
+        ).alias("tk")
+    )
+    items = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("token"),
+        F.col("e.count").cast("long").alias("cnt"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        items.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _ATK_K)
+        .select("rank", "token", "cnt")
+        .orderBy("rank")
+    )
+
+
+sketch_approx_top_k_tokens.__doc__ = sketch_approx_top_k_tokens.__doc__.format(
+    _ATK_K=_ATK_K
+)

@@ -188,6 +188,9 @@ RELATIONAL_QUERIES = [
     "tpch_q11_important_stock",
     "tpch_q16_parts_supplier_relationship",
     "tpch_q20_potential_part_promotion",
+    # blocked Fellegi-Sunter linkage (customer x derived dirty twin;
+    # pair volume tracks block sizes — the axis that grows with SF)
+    "linkage_fellegi_sunter",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -197,6 +200,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # fabricated), near_dup_clusters / dedup_survivors cousins are covered
 # via their pair-producing cores below.
 TEXT_QUERIES = [
+    # round-7 additions: strided substring-span dedup and chunk-level
+    # cross-doc dedup (both one-shuffle-on-fingerprint shapes)
+    "dedup_substring_spans",
+    "chunk_dedup_cross_doc",
+    "sketch_approx_top_k_tokens",
     "text_features",
     "text_lang_id",
     "text_stats_by_source",
@@ -301,6 +309,10 @@ BYTE_SENSITIVE = {
     "text_entropy_kl_by_source",  # per-character distribution
     "bpe_merge1_gate",          # char-pair explode per distinct word
     "dsir_importance_select",   # per-occurrence bigram-string hashing
+    "dedup_substring_spans",    # spans are CHAR windows: count and hash
+    # volume both scale with bytes, not tokens
+    "chunk_dedup_cross_doc",    # chunk strings lengthen with the tags
+    "sketch_approx_top_k_tokens",  # per-token string hashing
     "text_bm25_topk",
     "dedup_incremental_new_vs_corpus",
     "quality_blocklist_filter",
