@@ -1609,3 +1609,63 @@ def dq_k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables + EXECUTE IMMEDIATE (Spark 4 SQL scripting
+# surface): DECLARE / SET VARIABLE with a data-derived value, consumed
+# through a parameterized EXECUTE IMMEDIATE — the pattern behind
+# orchestrated SQL workflows (compute a threshold once, reuse it across
+# statements) without round-tripping values through the client.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_session_variables_param_query",
+    oracle="""
+    WITH cut AS (SELECT max(o_totalprice) * 0.5 AS v FROM orders)
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_big,
+           SUM(CAST(FLOOR(o_totalprice * 1000) AS BIGINT)) / 1000.0
+             AS revenue
+    FROM orders, cut
+    WHERE o_totalprice > cut.v
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_session_variables_param_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Orders above half the maximum order value, per priority — with
+    the threshold computed ONCE into a session variable
+    (DECLARE/SET VARIABLE, scalar-subquery initializer) and consumed by
+    a parameter marker in EXECUTE IMMEDIATE ... USING.
+
+    The revenue sum is fixed-point (floor(price·1e3) BIGINT, divided
+    back) so the hash cannot drift by accumulation order. Scale shape:
+    the variable SET is one scalar aggregate; the parameterized query
+    then plans with the threshold as a LITERAL — which means the
+    o_totalprice predicate is pushable to the parquet scan, the
+    concrete advantage of resolve-then-plan over a runtime scalar
+    subquery join. The EXECUTE IMMEDIATE string is constant; only the
+    parameter travels, so there is no SQL-injection surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_ssv")
+    spark.sql("DECLARE OR REPLACE VARIABLE v_big_order_cut DOUBLE")
+    spark.sql(
+        "SET VARIABLE v_big_order_cut = "
+        "(SELECT max(o_totalprice) * 0.5 FROM v_orders_ssv)"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  count(*) AS n_big,
+                  SUM(CAST(FLOOR(o_totalprice * 1000) AS BIGINT)) / 1000.0
+                    AS revenue
+           FROM v_orders_ssv
+           WHERE o_totalprice > ?
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority'
+          USING v_big_order_cut
+        """
+    )

@@ -2642,3 +2642,96 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic (dynamic-schema) Python UDTF — the analyze() half of the
+# Spark 4 table-function API that udtf_token_rle's static returnType
+# doesn't exercise: the OUTPUT SCHEMA is computed at plan time from a
+# constant argument, the contract behind schema-bearing parsers
+# (CSV/log-line splitters, fixed-width decoders) where column count is
+# a parameter, not a literal in the source.
+# ---------------------------------------------------------------------------
+
+_DYN_FIELDS = 3  # leading tokens exposed as columns f0..f{n-1}
+
+
+@query(
+    "udtf_dynamic_leading_fields",
+    oracle=f"""
+    WITH lead AS (
+      SELECT split_part(trim(text), ' ', 1) AS f0,
+             split_part(trim(text), ' ', 2) AS f1,
+             split_part(trim(text), ' ', 3) AS f2
+      FROM documents
+    )
+    SELECT f0, count(*)::BIGINT AS n_docs,
+           count(DISTINCT f1)::BIGINT AS n_second,
+           min(f2) AS min_third
+    FROM lead
+    GROUP BY f0
+    HAVING count(*) >= 5
+    ORDER BY n_docs DESC, f0
+    LIMIT 20
+    """,
+)
+def udtf_dynamic_leading_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema UDTF: ``leading_fields(text, n)`` computes its
+    output schema (f0..f{{n-1}} strings) in ``analyze()`` from the
+    constant ``n`` — the polymorphic table-function contract — then the
+    rollup groups documents by their leading field with second/third
+    field statistics.
+
+    Scale honesty: same class as udtf_token_rle — the UDTF boundary is
+    Arrow-batched but eval is per-row Python, retained as the
+    extension-point demonstration (the oracle shows the split_part
+    formulation a production pass would run JVM-side). What this query
+    uniquely pins is PLAN-TIME schema derivation: a wrong analyze()
+    yields the wrong column set and fails the driver's schema compare
+    before any value is hashed."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    try:
+        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    except Exception:
+        pass
+
+    @udtf
+    class LeadingFields:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if n.value is None:
+                raise ValueError("leading_fields: n must be a constant")
+            k = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"f{i}", StringType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            import re
+
+            toks = re.split(r"\s+", (text or "").strip())
+            toks = (toks + [None] * n)[:n]
+            yield tuple(toks)
+
+    spark.udtf.register("leading_fields", LeadingFields)
+    _docs(spark, sf_dir).createOrReplaceTempView("v_docs_dynfields")
+    return spark.sql(
+        f"""
+        SELECT l.f0, count(*) AS n_docs,
+               count(DISTINCT l.f1) AS n_second,
+               min(l.f2) AS min_third
+        FROM v_docs_dynfields d,
+             LATERAL leading_fields(d.text, {_DYN_FIELDS}) l
+        GROUP BY l.f0
+        HAVING count(*) >= 5
+        ORDER BY n_docs DESC, l.f0
+        LIMIT 20
+        """
+    )

@@ -191,6 +191,8 @@ RELATIONAL_QUERIES = [
     # blocked Fellegi-Sunter linkage (customer x derived dirty twin;
     # pair volume tracks block sizes — the axis that grows with SF)
     "linkage_fellegi_sunter",
+    # SQL-scripting surface: one scalar SET + a literal-planned query
+    "sql_session_variables_param_query",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
