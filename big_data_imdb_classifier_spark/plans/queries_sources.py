@@ -299,3 +299,160 @@ def sink_ordered_bool_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("line_no"),
         bool_label_col("prediction").alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S3 — record-oriented JSON scan, oracle-pinned through a round-trip.
+# ---------------------------------------------------------------------------
+
+_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _ensure_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Distributed write of documents metadata as 4 JSON-lines shards
+    (no driver fan-in)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "jsonl")
+    if key in _built:
+        return _built[key]
+    path = _fixture_dir(spark, sf_dir, "jsonl")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    _built[key] = path
+    return path
+
+
+@query(
+    "source_jsonl_roundtrip_rollup",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(n_chars)::BIGINT AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def source_jsonl_roundtrip_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Record-oriented JSON as a first-class source (S3): documents
+    metadata is rewritten as JSON-lines shards (construction, once per
+    session, distributed write) and the rollup runs on the JSON scan
+    with an EXPLICIT schema via load_json, while the oracle reads the
+    ORIGINAL parquet — the hash match proves the JSON round-trip
+    (bigint / string typing included) is lossless and that no
+    schema-inference pass is needed.
+
+    Scale shape: a multi-file JSON scan is one FileScan exactly like
+    CSV/parquet; the explicit schema skips the inference pass (a full
+    extra read at 100 TB). JSON stays an INGEST format — the plan after
+    the scan is identical to the parquet twin's."""
+    from ..sources.readers import load_json
+
+    path = _ensure_jsonl(spark, sf_dir)
+    df = load_json(spark, path, _JSONL_SCHEMA)
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# XML round-trip (Spark 4 native xml source), oracle-pinned.
+# ---------------------------------------------------------------------------
+
+_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+def _ensure_xml(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "xml")
+    if key in _built:
+        return _built[key]
+    path = _fixture_dir(spark, sf_dir, "xml")
+    from ..sources.sinks import write_xml
+
+    write_xml(
+        load_table(spark, sf_dir, "customer"),
+        path,
+        row_tag="customer",
+        root_tag="customers",
+    )
+    _built[key] = path
+    return path
+
+
+@query(
+    "source_xml_roundtrip_rollup",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) / 100.0
+             AS total_balance,
+           MIN(c_name) AS first_name,
+           MAX(c_name) AS last_name
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def source_xml_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as an interop source/sink (Spark 4 NATIVE xml, no external
+    package): customer is rewritten as XML documents (construction,
+    once per session, executor-side writes) and the rollup runs on the
+    XML scan with an explicit schema, while the oracle reads the
+    ORIGINAL parquet — the hash proves the full type round-trip through
+    the XML text encoding (bigint keys, double balances via a
+    fixed-point sum so text→double re-parse cannot drift the hash,
+    strings with '#' punctuation).
+
+    Scale note: XML parsing is per-record CPU-heavy vs columnar
+    formats; the scan is still a distributed multi-file FileScan, but
+    at 100 TB this is an INGEST-ONCE format — land it, convert to
+    parquet, query the parquet (the sink docstring's contract)."""
+    from ..sources.readers import load_xml
+
+    path = _ensure_xml(spark, sf_dir)
+    df = load_xml(spark, path, row_tag="customer", schema=_XML_SCHEMA)
+    return (
+        df.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+                / 100.0
+            ).alias("total_balance"),
+            F.min("c_name").alias("first_name"),
+            F.max("c_name").alias("last_name"),
+        )
+        .orderBy("segment")
+    )

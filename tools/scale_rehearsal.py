@@ -207,6 +207,10 @@ TEXT_QUERIES = [
     "dedup_substring_spans",
     "chunk_dedup_cross_doc",
     "sketch_approx_top_k_tokens",
+    # documents-shaped source round-trips (fixture rebuilt per decade —
+    # the write is part of the measured construction, like the layouts)
+    "source_csv_glob_sentinel_repair",
+    "source_jsonl_roundtrip_rollup",
     "text_features",
     "text_lang_id",
     "text_stats_by_source",
