@@ -38,11 +38,56 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     advisory to AQE, which would coalesce a tiny-bytes shuffle right back
     to one task). A big corpus already scans wide, and then this is a
     no-op: it must NOT pay a full-text shuffle before e.g. dedup_exact's
-    map-side-combined fingerprint agg."""
+    map-side-combined fingerprint agg.
+
+    The scan-width probe estimates partition count from file bytes /
+    maxPartitionBytes (plus the open-cost floor per file) instead of
+    ``df.rdd.getNumPartitions()`` — the RDD round-trip compiled the
+    plan on the driver per construction (no job, but a plan→RDD
+    conversion on every text query; r6 verdict cosmetic #3)."""
     df = load_table(spark, sf_dir, "documents")
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    est = _scan_partitions_estimate(spark, sf_dir)
+    if est < spark.sparkContext.defaultParallelism:
         df = TX.repartition_for_cpu(df, "doc_id")
     return df
+
+
+def _scan_partitions_estimate(spark: SparkSession, sf_dir: str) -> int:
+    """Partition count the parquet scan will plan, from driver-side file
+    metadata only: ceil(file_bytes / maxPartitionBytes) per file —
+    Spark's own split arithmetic for splittable columnar files (the
+    per-file open cost only matters with many small files, where the
+    estimate is already >= cores and the answer doesn't change).
+    synthetic:// corpora (scale rehearsal) read with their own
+    partitions option, always >= cores — return a large constant."""
+    if "://" in sf_dir and not sf_dir.startswith("file://"):
+        return 1 << 20
+    import glob as _glob
+    import os as _os
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    files = (
+        [path]
+        if _os.path.isfile(path)
+        else _glob.glob(_os.path.join(path, "*.parquet"))
+    )
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    ).strip().lower()
+    # JVM byte-size syntax: optional unit suffix (b/k/m/g, optionally
+    # with a trailing 'b' as in 'kb'/'mb') — the engine profile sets
+    # '256m', a vanilla session reports '134217728b'.
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
+    if not m:
+        return 1 << 20  # unparseable → assume wide scan (no reshuffle)
+    max_bytes = int(m.group(1)) * {
+        "": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
+    }[m.group(2)]
+    return sum(
+        max(1, -(-_os.path.getsize(f) // max_bytes)) for f in files
+    ) or 1
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (must mirror operators/text.py exactly).
