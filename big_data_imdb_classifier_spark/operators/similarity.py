@@ -102,14 +102,30 @@ ANN_SWITCH_MIN_CORPUS = 100_000
 
 
 def corpus_row_count(sf_dir: str, table: str = "embeddings") -> int:
-    """Corpus size from the parquet FOOTER (driver-side metadata read,
-    no Spark job) — the switch predicate must not cost a cluster action
-    on the small-corpus path it exists to keep cheap."""
+    """Corpus size from parquet FOOTERS (driver-side metadata read, no
+    Spark job) — the switch predicate must not cost a cluster action on
+    the small-corpus path it exists to keep cheap. The table may be a
+    single file OR a Spark-written directory of part files (any corpus
+    the engine itself materialized, e.g. the scale rehearsal's 10×
+    embeddings) — sum ``num_rows`` across part footers in that case.
+    A failed probe (missing path, non-parquet payload) returns 0 so
+    callers keep their exact plan instead of crashing the query on a
+    predicate that exists purely to pick a faster plan."""
+    import glob
     import os
 
     import pyarrow.parquet as pq
 
-    return pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+    import pyarrow as pa
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = glob.glob(os.path.join(path, "*.parquet"))
+            return sum(pq.read_metadata(p).num_rows for p in parts)
+        return pq.read_metadata(path).num_rows
+    except (OSError, pa.ArrowException):  # missing path / not parquet
+        return 0
 
 
 def ivf_candidate_pairs(

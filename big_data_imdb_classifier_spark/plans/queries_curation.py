@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators import text as TX
 from ..sources.readers import load_table
-from .registry import ROUND_DIGITS, query
+from .registry import ROUND_DIGITS, format_doc, query
 
 # Must mirror queries_text.py's fragments (same tokenizer, same k=3
 # shingles) so curation and dedup agree on what an n-gram is.
@@ -405,9 +405,7 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-corpus_curation_e2e.__doc__ = corpus_curation_e2e.__doc__.format(
-    bench=_BENCH_SOURCE, thr=_CONTAM_THRESHOLD, den=_SAMPLE_DEN
-)
+format_doc(corpus_curation_e2e, bench=_BENCH_SOURCE, thr=_CONTAM_THRESHOLD, den=_SAMPLE_DEN)
 
 
 @query(
@@ -765,9 +763,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Render the constants into the docstring (ADVICE r6 convention).
-dedup_substring_spans.__doc__ = dedup_substring_spans.__doc__.format(
-    _SPAN_W=_SPAN_W, _SPAN_S=_SPAN_S
-)
+format_doc(dedup_substring_spans, _SPAN_W=_SPAN_W, _SPAN_S=_SPAN_S)
 
 
 # ---------------------------------------------------------------------------
@@ -897,6 +893,4 @@ def chunk_dedup_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-chunk_dedup_cross_doc.__doc__ = chunk_dedup_cross_doc.__doc__.format(
-    _CHUNK_TOKS=_CHUNK_TOKS, _CHUNK_STRIDE=_CHUNK_STRIDE
-)
+format_doc(chunk_dedup_cross_doc, _CHUNK_TOKS=_CHUNK_TOKS, _CHUNK_STRIDE=_CHUNK_STRIDE)

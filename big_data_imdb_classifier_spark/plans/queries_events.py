@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 from ..functions.temporal import epoch_seconds
 from ..sources.readers import load_table
-from .registry import ROUND_DIGITS, query
+from .registry import ROUND_DIGITS, format_doc, query
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -2298,7 +2298,5 @@ def event_pattern_regex_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Render the constants into the docstring (help()/docs otherwise show
 # literal braces that silently drift from the values — ADVICE r6).
-event_pattern_regex_funnels.__doc__ = event_pattern_regex_funnels.__doc__.format(
-    _PAT_FUNNEL=_PAT_FUNNEL, _PAT_CLEAN=_PAT_CLEAN
-)
+format_doc(event_pattern_regex_funnels, _PAT_FUNNEL=_PAT_FUNNEL, _PAT_CLEAN=_PAT_CLEAN)
 

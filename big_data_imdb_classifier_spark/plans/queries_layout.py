@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.layout import interleave_bits, normalize_to_bits, zorder_sql
 from ..sources.readers import load_table
-from .registry import query
+from .registry import format_doc, query
 
 _Z_BITS = 8  # 8 bits per dimension → 16-bit z, buckets = z >> 8
 
@@ -108,7 +108,7 @@ def zorder_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Render the constants into the docstring (help()/docs otherwise show
 # literal braces that silently drift from the values — ADVICE r6).
-zorder_bucket_profile.__doc__ = zorder_bucket_profile.__doc__.format(_Z_BITS=_Z_BITS)
+format_doc(zorder_bucket_profile, _Z_BITS=_Z_BITS)
 
 # ---------------------------------------------------------------------------
 # Bucketed co-located join + hive-partitioned pruned scan. The other two
@@ -236,7 +236,7 @@ def layout_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFram
 
 # Render the constants into the docstring (help()/docs otherwise show
 # literal braces that silently drift from the values — ADVICE r6).
-layout_bucketed_join_colocated.__doc__ = layout_bucketed_join_colocated.__doc__.format(_BUCKETS=_BUCKETS)
+format_doc(layout_bucketed_join_colocated, _BUCKETS=_BUCKETS)
 
 _PRUNE_DAYS = ["2024-01-05", "2024-01-12", "2024-01-19"]
 _PRUNE_DAYS_SQL = "(" + ", ".join(f"'{d}'" for d in _PRUNE_DAYS) + ")"

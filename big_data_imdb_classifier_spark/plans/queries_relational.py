@@ -20,7 +20,7 @@ from ..operators.relational import (
 )
 from ..sources.readers import load_table
 from .registry import ROUND_DIGITS as R
-from .registry import query
+from .registry import format_doc, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1546,7 +1546,7 @@ def sql_recursive_cte_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Render the constants into the docstring (help()/docs otherwise show
 # literal braces that silently drift from the values — ADVICE r6).
-sql_recursive_cte_balance.__doc__ = sql_recursive_cte_balance.__doc__.format(_REC_STEPS=_REC_STEPS)
+format_doc(sql_recursive_cte_balance, _REC_STEPS=_REC_STEPS)
 
 _KANON_K = 5  # minimum group size for a quasi-identifier class
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as SIM
 from ..sources.readers import load_table
-from .registry import ROUND_DIGITS, query
+from .registry import ROUND_DIGITS, format_doc, query
 
 N_QUERY_VECS = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 10
@@ -998,7 +998,7 @@ def knn_matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Render the constants into the docstring (help()/docs otherwise show
 # literal braces that silently drift from the values — ADVICE r6).
-knn_matryoshka_dim_recall.__doc__ = knn_matryoshka_dim_recall.__doc__.format(TOP_K=TOP_K, _MRL_DIMS=_MRL_DIMS)
+format_doc(knn_matryoshka_dim_recall, TOP_K=TOP_K, _MRL_DIMS=_MRL_DIMS)
 
 # ---------------------------------------------------------------------------
 # Contrastive hard-negative mining: for each query vector, the nearest

@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from ..sources.readers import load_csv_glob, load_column_dict_json, load_table
 from ..sources.sinks import bool_label_col
-from .registry import query
+from .registry import format_doc, query
 
 _CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -155,9 +155,7 @@ def source_csv_glob_sentinel_repair(
 
 # Render the shard count into the docstring (help() otherwise shows the
 # literal brace placeholder — ADVICE r6 convention).
-source_csv_glob_sentinel_repair.__doc__ = (
-    source_csv_glob_sentinel_repair.__doc__.format(_N_SHARDS=_N_SHARDS)
-)
+format_doc(source_csv_glob_sentinel_repair, _N_SHARDS=_N_SHARDS)
 
 
 # ---------------------------------------------------------------------------
@@ -203,9 +201,7 @@ def _ensure_columndict_json(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-_ensure_columndict_json.__doc__ = _ensure_columndict_json.__doc__.format(
-    _DICT_KEY_CAP=_DICT_KEY_CAP
-)
+format_doc(_ensure_columndict_json, _DICT_KEY_CAP=_DICT_KEY_CAP)
 
 
 @query(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
-from .registry import ROUND_DIGITS, query
+from .registry import ROUND_DIGITS, format_doc, query
 
 _R = ROUND_DIGITS
 
@@ -1327,6 +1327,4 @@ def sketch_approx_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-sketch_approx_top_k_tokens.__doc__ = sketch_approx_top_k_tokens.__doc__.format(
-    _ATK_K=_ATK_K
-)
+format_doc(sketch_approx_top_k_tokens, _ATK_K=_ATK_K)

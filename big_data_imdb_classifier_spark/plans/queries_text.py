@@ -52,14 +52,40 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _jvm_bytes(spark: SparkSession, key: str, default: str) -> int:
+    """Parse a JVM byte-size conf value. Syntax: optional unit suffix
+    (b/k/m/g, optionally with a trailing 'b' as in 'kb'/'mb') — the
+    engine profile sets '256m', a vanilla session reports '134217728b'.
+    Unparseable → -1 (caller decides the safe direction)."""
+    import re as _re
+
+    raw = spark.conf.get(key, default).strip().lower()
+    m = _re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
+    if not m:
+        return -1
+    return int(m.group(1)) * {
+        "": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
+    }[m.group(2)]
+
+
 def _scan_partitions_estimate(spark: SparkSession, sf_dir: str) -> int:
     """Partition count the parquet scan will plan, from driver-side file
-    metadata only: ceil(file_bytes / maxPartitionBytes) per file —
-    Spark's own split arithmetic for splittable columnar files (the
-    per-file open cost only matters with many small files, where the
-    estimate is already >= cores and the answer doesn't change).
-    synthetic:// corpora (scale rehearsal) read with their own
-    partitions option, always >= cores — return a large constant."""
+    metadata only — Spark's own FilePartition arithmetic
+    (``FilePartition.maxSplitBytes`` + greedy bin-packing), not the
+    naive ceil(size/maxPartitionBytes) per file: that naive form
+    ignores small-file packing (openCostInBytes / bytesPerCore), so a
+    corpus of many small shards was overestimated (N files → N
+    partitions) while the actual scan planned far fewer, and the
+    CPU-spreading repartition was silently skipped (round-7 ADVICE).
+
+      maxSplitBytes = min(maxPartitionBytes,
+                          max(openCostInBytes,
+                              (Σbytes + nFiles·openCost) / parallelism))
+
+    then pack splits greedily: a partition closes when adding the next
+    split (+ its open cost) would exceed maxSplitBytes. synthetic://
+    corpora (scale rehearsal) read with their own partitions option,
+    always >= cores — return a large constant."""
     if "://" in sf_dir and not sf_dir.startswith("file://"):
         return 1 << 20
     import glob as _glob
@@ -71,23 +97,36 @@ def _scan_partitions_estimate(spark: SparkSession, sf_dir: str) -> int:
         if _os.path.isfile(path)
         else _glob.glob(_os.path.join(path, "*.parquet"))
     )
-    raw = spark.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728b"
-    ).strip().lower()
-    # JVM byte-size syntax: optional unit suffix (b/k/m/g, optionally
-    # with a trailing 'b' as in 'kb'/'mb') — the engine profile sets
-    # '256m', a vanilla session reports '134217728b'.
-    import re as _re
-
-    m = _re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
-    if not m:
-        return 1 << 20  # unparseable → assume wide scan (no reshuffle)
-    max_bytes = int(m.group(1)) * {
-        "": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
-    }[m.group(2)]
-    return sum(
-        max(1, -(-_os.path.getsize(f) // max_bytes)) for f in files
-    ) or 1
+    max_part = _jvm_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", "134217728b"
+    )
+    open_cost = _jvm_bytes(
+        spark, "spark.sql.files.openCostInBytes", "4194304b"
+    )
+    if max_part < 0 or open_cost < 0 or not files:
+        return 1 << 20  # unparseable/empty → assume wide (no reshuffle)
+    sizes = [_os.path.getsize(f) for f in files]
+    total = sum(sizes) + open_cost * len(sizes)
+    per_core = total / max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_part, max(open_cost, int(per_core)))
+    # Split each file at maxSplitBytes, then greedy-pack (desc order,
+    # like Spark) with the open cost as per-split padding.
+    splits = []
+    for s in sizes:
+        while s > max_split:
+            splits.append(max_split)
+            s -= max_split
+        if s > 0:
+            splits.append(s)
+    splits.sort(reverse=True)
+    parts, cur = 0, 0
+    for s in splits:
+        padded = s + open_cost
+        if cur > 0 and cur + padded > max_split:
+            parts += 1
+            cur = 0
+        cur += padded
+    return parts + (1 if cur > 0 else 0) or 1
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (must mirror operators/text.py exactly).
@@ -2704,11 +2743,17 @@ _DYN_FIELDS = 3  # leading tokens exposed as columns f0..f{n-1}
 @query(
     "udtf_dynamic_leading_fields",
     oracle=f"""
-    WITH lead AS (
-      SELECT split_part(trim(text), ' ', 1) AS f0,
-             split_part(trim(text), ' ', 2) AS f1,
-             split_part(trim(text), ' ', 3) AS f2
+    WITH toks AS (
+      -- same tokenizer as the Spark UDTF's eval (re.split on \\s+ after
+      -- strip) and same missing-field semantics (NULL, not ''): list
+      -- indexing past the end is NULL in DuckDB, matching the UDTF's
+      -- None padding (round-7 ADVICE: split_part on a single space
+      -- diverged on multi-whitespace or short documents).
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents
+    ),
+    lead AS (
+      SELECT t[1] AS f0, t[2] AS f1, t[3] AS f2 FROM toks
     )
     SELECT f0, count(*)::BIGINT AS n_docs,
            count(DISTINCT f1)::BIGINT AS n_second,

@@ -28,6 +28,25 @@ ORACLES: dict[str, str] = {}
 ROUND_DIGITS = 4
 
 
+def format_doc(fn: Callable, **params: object) -> None:
+    """Substitute ``{NAME}`` placeholders in ``fn``'s docstring with the
+    module constants the prose quotes, safely:
+
+    * under ``python -OO`` docstrings are stripped to ``None`` — a bare
+      ``fn.__doc__.format(...)`` would raise AttributeError at import
+      and take down the whole plans package (round-7 ADVICE);
+    * substitution is explicit per-placeholder (no ``str.format``), so a
+      literal brace elsewhere in the docstring — a regex ``{m,n}``
+      quantifier, a dict example — can never raise KeyError at import.
+    """
+    if not fn.__doc__:
+        return
+    doc = fn.__doc__
+    for key, val in params.items():
+        doc = doc.replace("{" + key + "}", str(val))
+    fn.__doc__ = doc
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query and (optionally) its DuckDB oracle SQL.
 

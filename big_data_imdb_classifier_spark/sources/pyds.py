@@ -163,6 +163,7 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         self.num_partitions = int(options.get("partitions", 8))
         self.seed = int(options.get("seed", 0))
         self.users = int(options.get("users", 100))
+        self.zipf = int(options.get("zipf", 0))
         self._hwm = 0  # highest offset seen (advanced by latestOffset,
         # re-learned from the offset log via partitions() after restart)
 
@@ -191,7 +192,10 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         lo, hi = partition.value
         for rid in range(lo, hi):
-            yield _row_for(rid, self.seed, self.users)
+            # zipf must flow through identically to the batch reader's
+            # read(): the drain-parity contract (fully drained stream ==
+            # batch read, byte-identical) holds for every option combo.
+            yield _row_for(rid, self.seed, self.users, self.zipf)
 
     def commit(self, end: dict) -> None:
         pass  # nothing external to clean up: generation is pure

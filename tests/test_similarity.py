@@ -260,3 +260,36 @@ def test_ann_auto_switch_fires_above_threshold(spark, monkeypatch):
         p = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in p, fn.__name__
         assert fn(spark, SF_SMOKE).count() > 0, fn.__name__
+
+
+def test_corpus_row_count_file_dir_and_missing(spark, tmp_path):
+    """The switch predicate's metadata probe must handle every corpus
+    layout the engine itself produces (round-7 ADVICE: a Spark-written
+    directory of part files crashed it, so the ANN switch failed on
+    exactly the at-scale corpora it was built for): single file → footer
+    num_rows; directory → sum over part footers; missing/garbage → 0
+    (callers keep the exact plan, never crash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({"vec_id": list(range(7))})
+    single = tmp_path / "emb_single"
+    single.mkdir()
+    pq.write_table(tbl, single / "embeddings.parquet")
+    assert SIM.corpus_row_count(str(single)) == 7
+
+    # Spark-written layout: a DIRECTORY named embeddings.parquet.
+    multi = tmp_path / "emb_multi"
+    (
+        spark.range(123)
+        .withColumnRenamed("id", "vec_id")
+        .repartition(4)
+        .write.parquet(str(multi / "embeddings.parquet"))
+    )
+    assert SIM.corpus_row_count(str(multi)) == 123
+
+    assert SIM.corpus_row_count(str(tmp_path / "nope")) == 0
+    garbage = tmp_path / "emb_bad"
+    garbage.mkdir()
+    (garbage / "embeddings.parquet").write_bytes(b"not parquet")
+    assert SIM.corpus_row_count(str(garbage)) == 0

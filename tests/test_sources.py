@@ -627,6 +627,57 @@ def test_synthetic_events_stream_matches_batch(spark):
     assert batch.exceptAll(got).count() == 0
 
 
+def test_synthetic_events_stream_zipf_matches_batch(spark):
+    """The zipf option must flow through the STREAM reader too (round-7
+    ADVICE: the stream reader dropped it, silently producing uniform
+    keys): a drained zipf=2 stream equals the zipf=2 batch read
+    byte-for-byte, and its hot key is the skewed one — which the uniform
+    draw could never produce."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from big_data_imdb_classifier_spark.sources import pyds
+
+    pyds.register(spark)
+    n = 3000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 1100)
+        .option("max_rows", n)
+        .option("partitions", 4)
+        .option("seed", 3)
+        .option("users", 500)
+        .option("zipf", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("syn_stream_zipf")
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table("syn_stream_zipf").count() >= n:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    got = spark.table("syn_stream_zipf")
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("rows", n).option("partitions", 4)
+        .option("seed", 3).option("users", 500).option("zipf", 2)
+        .load()
+    )
+    assert got.count() == n
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    top = got.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    assert top["user_id"] == 0 and top["count"] > 10 * (n // 500)
+
+
 def test_jsonl_stream_writer_round_trip(spark, tmp_path):
     """Streaming write half of the Python DataSource: synthetic stream →
     jsonl_sink via writeStream; committed part files carry every row
