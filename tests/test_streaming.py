@@ -389,3 +389,151 @@ def test_pattern_funnel_stream_matches_batch(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def _drain_with_ckpt(spark, df, table, ckpt):
+    """availableNow drain that SURVIVES checkpoint restarts (the memory
+    sink refuses recovery): foreachBatch collects each micro-batch's
+    update-mode output into a plain list of Rows."""
+    rows = []
+    q = (
+        df.writeStream.foreachBatch(
+            lambda batch_df, _bid: rows.extend(batch_df.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_running_totals_state_evicted_after_idle_retention(spark, tmp_path):
+    """The per-user totals state is BOUNDED (round-7 verdict task 1 —
+    the engine's last unbounded-state operator): a key idle past
+    ``idle_retention_ms`` in event time is removed from the state store,
+    while an active key keeps its cross-batch accumulator. Three
+    availableNow drains on one checkpoint = three micro-batches with the
+    watermark advancing between them."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [Row(user_id=u, ts=t, value=v) for u, t, v in rows], schema
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def drain(tag):
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        return _drain_with_ckpt(
+            spark,
+            ST.running_user_totals_stream(stream),
+            f"t_totals_evict_{tag}",
+            ckpt,
+        )
+
+    # Batch 1: both users active. Watermark is still 0 here — under a
+    # bare watermark+retention deadline both keys would be mass-evicted
+    # in batch 2 (the r7 funnel regression); event-time anchoring is
+    # what this drain pins.
+    write_batch("b1", [(1, t0, 10.0), (1, t0, 5.0), (2, t0, 1.0)])
+    drain("b1")
+    # Batch 2: only user 2, 3 days later. Watermark at batch start is
+    # still behind user 1's deadline (t0+24h) — no eviction yet; the
+    # batch advances it to t0+3d-2h.
+    write_batch("b2", [(2, t0 + dt.timedelta(days=3), 2.0)])
+    out2 = drain("b2")
+    r2 = {(r["user_id"], r["n_events"], r["sum_value"]) for r in out2}
+    assert (2, 2, 3.0) in r2  # cross-batch accumulation survived
+    # Batch 3: user 1 is now idle > 24h behind the watermark → its
+    # timeout fires during this batch and the key is removed; user 2
+    # keeps accumulating.
+    write_batch("b3", [(2, t0 + dt.timedelta(days=3, hours=1), 4.0)])
+    out3 = drain("b3")
+    assert {(r["user_id"], r["n_events"], r["sum_value"]) for r in out3} == {
+        (2, 3, 7.0)
+    }
+
+    meta = ST.read_state_metadata(spark, ckpt).collect()
+    assert len(meta) == 1
+    state = ST.read_state(spark, ckpt, operator_id=meta[0]["operatorId"])
+    keys = {r["key"][0] for r in state.collect()}
+    assert keys == {2}, f"idle key not evicted / active key lost: {keys}"
+
+
+def test_pattern_funnel_no_mass_evict_on_first_watermark_advance(
+    spark, tmp_path
+):
+    """Regression for the r7 −62% funnel throughput cliff: batch-1 keys
+    were armed while the watermark was still 0 (deadline = 1970 +
+    retention) and mass-evicted on the first watermark advance,
+    destroying their cross-batch sequence state. With the deadline
+    anchored to the key's own last event time, a key idle only a few
+    hours must RETAIN its accumulated sequence across batches — its
+    funnel count reflects events from both batches."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+        ]
+    )
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [
+                Row(user_id=u, ts=t, event_id=i, event_type=e)
+                for u, t, i, e in rows
+            ],
+            schema,
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def drain(tag):
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        return _drain_with_ckpt(
+            spark,
+            ST.pattern_funnel_stream(stream),
+            f"t_funnel_no_evict_{tag}",
+            ckpt,
+        )
+
+    # Batch 1: user 7 starts a funnel: view, click (no purchase yet).
+    write_batch(
+        "b1",
+        [(7, t0, 1, "view"), (7, t0 + dt.timedelta(minutes=1), 2, "click")],
+    )
+    drain("b1")
+    # Batch 2, six hours later (far under the 24h retention): the
+    # purchase completes the v c p funnel ONLY IF batch-1 state
+    # survived the watermark advance.
+    write_batch(
+        "b2", [(7, t0 + dt.timedelta(hours=6), 3, "purchase")]
+    )
+    out2 = drain("b2")
+    rows = {(r["user_id"], r["n_funnels"]) for r in out2}
+    assert (7, 1) in rows, (
+        f"batch-1 state lost on first watermark advance: {rows}"
+    )

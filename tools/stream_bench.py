@@ -63,6 +63,16 @@ def main() -> None:
         ),
     }
 
+    if "--only" in sys.argv:
+        # Isolated re-measurement of named cases (same semantics as
+        # bench.py's spread probe): comma-separated case names.
+        i = sys.argv.index("--only") + 1
+        keep = set(sys.argv[i].split(","))
+        unknown = keep - set(cases)
+        if unknown:
+            raise SystemExit(f"--only: unknown cases {sorted(unknown)}")
+        cases = {k: v for k, v in cases.items() if k in keep}
+
     baseline_cases = {}
     if "--baseline" in sys.argv:
         i = sys.argv.index("--baseline") + 1
