@@ -293,3 +293,40 @@ def test_corpus_row_count_file_dir_and_missing(spark, tmp_path):
     garbage.mkdir()
     (garbage / "embeddings.parquet").write_bytes(b"not parquet")
     assert SIM.corpus_row_count(str(garbage)) == 0
+
+
+def test_embedding_dedup_auto_switch_to_semdedup(spark, monkeypatch):
+    """VERDICT r7 task 8: the exact blocked-GEMM all-pairs dedup yields
+    to the cluster-local SemDeDup enumeration above the corpus
+    threshold. Force the switch and prove (a) the plan shape changed —
+    the block cross-join's non-equi self-join (BroadcastNestedLoopJoin)
+    is gone, the soft-cell assignment's Arrow eval is present — and
+    (b) the switched result is a subset of the exact pairs with high
+    coverage; with the default threshold the exact plan (and its hash
+    oracle) is untouched."""
+    from big_data_imdb_classifier_spark.plans import (
+        queries_similarity as QS,
+    )
+    from .conftest import SF_SMOKE
+
+    plan_exact = QS.dedup_embedding_cosine(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_exact
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in QS.dedup_embedding_cosine(spark, SF_SMOKE).collect()
+    }
+    assert exact, "exact result unexpectedly empty"
+
+    monkeypatch.setattr(SIM, "ANN_SWITCH_MIN_CORPUS", 1)
+    df_ann = QS.dedup_embedding_cosine(spark, SF_SMOKE)
+    plan_ann = df_ann._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_ann
+    assert ("ArrowEvalPython" in plan_ann) or ("MapInPandas" in plan_ann)
+
+    ann = {(r["vec_a"], r["vec_b"]) for r in df_ann.collect()}
+    assert ann <= exact, "SemDeDup path produced a non-exact pair"
+    coverage = len(ann & exact) / len(exact)
+    assert coverage >= 0.5, f"cell-local coverage {coverage:.2f} below floor"

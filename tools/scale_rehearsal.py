@@ -43,6 +43,7 @@ Exit 1 if any query's 10× growth ratio exceeds the supralinear flag.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -325,6 +326,33 @@ BYTE_SENSITIVE = {
     "text_ngram_novelty_score",
     "vocab_coverage_curve",     # token-frequency rollup
 }
+
+
+def _zipf_events_dir(spark, base_dir: str, rows_n: int) -> str:
+    """Materialize Zipf(s=1.5)-keyed synthetic events to parquet once
+    (shared by the skew decade and the 100× decade — the salted
+    count-enrich must read a real columnar scan, not pay Python
+    generation inside its timing)."""
+    path = os.path.join(base_dir, f"events_zipf15_{rows_n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        (
+            spark.read.format("synthetic_events")
+            .option("rows", rows_n)
+            .option("partitions", 64)
+            .option("seed", 1)
+            .option("users", rows_n * 15 // 1000)
+            .option("zipf", 2)
+            .load()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        print(
+            f"built zipf events ({rows_n} rows) in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    return path
 
 
 def _write(df, out_dir: str) -> None:
@@ -748,26 +776,7 @@ def main() -> None:
         _SKEW_SMALL, _SKEW_BIG = 1_000_000, 10_000_000
 
         def _zipf_dir(rows_n: int) -> str:
-            path = os.path.join(base_dir, f"events_zipf15_{rows_n}")
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                t0 = time.perf_counter()
-                (
-                    spark.read.format("synthetic_events")
-                    .option("rows", rows_n)
-                    .option("partitions", 64)
-                    .option("seed", 1)
-                    .option("users", rows_n * 15 // 1000)
-                    .option("zipf", 2)
-                    .load()
-                    .write.mode("overwrite")
-                    .parquet(path)
-                )
-                print(
-                    f"built zipf events ({rows_n} rows) in "
-                    f"{time.perf_counter() - t0:.1f}s",
-                    file=sys.stderr,
-                )
-            return path
+            return _zipf_events_dir(spark, base_dir, rows_n)
 
         def _t(build) -> float:
             t0 = time.perf_counter()
@@ -904,6 +913,140 @@ def main() -> None:
     else:
         skew_summary = None
 
+    # 100× DECADE (round 8, VERDICT r7 task 7): every ratio above spans
+    # ONE 10× step; a query that is mildly supralinear per decade can
+    # hide inside the per-decade slack twice over. The synthetic
+    # DataSources are storage-free, so a TWO-decade step (100× the bench
+    # shape) costs only compute — one representative per family runs at
+    # 100×: the directional incremental dedup over documents, the salted
+    # count-enrich over Zipf(s=1.5) events (parquet-materialized, so the
+    # timing is a columnar scan, not Python generation), and the IVF ANN
+    # gate over embeddings. Linear across two decades = ×100; the flag
+    # threshold applies the per-decade slack twice
+    # ((SUPRALINEAR_RATIO/10)² · 100 = ×144), byte-scaled for the
+    # byte-sensitive dedup exactly like the main decade. Opt-in via
+    # --x100: one 5M-doc minhash pass is minutes of compute and doesn't
+    # belong in every iteration loop.
+    x100_rows = []
+    if "--x100" in sys.argv:
+        from pyspark.sql import functions as F
+
+        from big_data_imdb_classifier_spark.operators.relational import (
+            count_enrich_salted,
+        )
+        from big_data_imdb_classifier_spark.sources import pyds
+        from big_data_imdb_classifier_spark.sources.readers import load_table
+
+        pyds.register(spark)
+        X100_RATIO = (SUPRALINEAR_RATIO / 10.0) ** 2 * 100.0
+
+        def synth_docs_n(docs_n: int) -> str:
+            return (
+                f"synthetic://?doc_rows={docs_n}&doc_base={_SF10_DOC_BASE}"
+                "&seed=1&partitions=64"
+            )
+
+        def synth_emb_n(vecs_n: int) -> str:
+            return (
+                f"synthetic://?emb_rows={vecs_n}&emb_base={_SF10_EMB_BASE}"
+                "&seed=1&partitions=64"
+            )
+
+        # Byte factor across the two-decade doc corpus: replica tags
+        # lengthen tokens ~logarithmically in the replica count, so the
+        # 100× corpus carries MORE than 100× the bytes; char-level work
+        # honestly grows with it (same adjustment as the main decade).
+        def _doc_bytes(uri: str) -> int:
+            return (
+                load_table(spark, uri, "documents")
+                .agg(F.sum(F.length("text")))
+                .first()[0]
+            )
+
+        x100_doc_small, x100_doc_big = 50_000, 5_000_000
+        doc_byte_factor_100 = round(
+            _doc_bytes(synth_docs_n(x100_doc_big))
+            / (100.0 * _doc_bytes(synth_docs_n(x100_doc_small))),
+            3,
+        )
+
+        zip_small = _zipf_events_dir(spark, base_dir, 1_000_000)
+        zip_big = _zipf_events_dir(spark, base_dir, 100_000_000)
+        ev_s, ev_b = spark.read.parquet(zip_small), spark.read.parquet(zip_big)
+
+        def _t100(build) -> float:
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            return round(time.perf_counter() - t0, 3)
+
+        x100_cases = [
+            (
+                "dedup_incremental_new_vs_corpus",
+                lambda: run(
+                    "dedup_incremental_new_vs_corpus",
+                    synth_docs_n(x100_doc_small),
+                ),
+                lambda: run(
+                    "dedup_incremental_new_vs_corpus",
+                    synth_docs_n(x100_doc_big),
+                ),
+                doc_byte_factor_100,
+            ),
+            (
+                "x100_count_enrich_salted_zipf",
+                lambda: _t100(
+                    lambda: count_enrich_salted(ev_s, "user_id", "n_events")
+                ),
+                lambda: _t100(
+                    lambda: count_enrich_salted(ev_b, "user_id", "n_events")
+                ),
+                1.0,
+            ),
+            (
+                "knn_ann_ivf",
+                lambda: run("knn_ann_ivf", synth_emb_n(20_000)),
+                lambda: run("knn_ann_ivf", synth_emb_n(2_000_000)),
+                1.0,
+            ),
+        ]
+        for name, small_fn, big_fn, bf in x100_cases:
+            try:
+                small_fn()  # warm (JIT + codegen)
+                t_s = round(sorted(small_fn() for _ in range(3))[1], 3)
+                t_b = round(big_fn(), 3)
+                ratio = round(t_b / max(t_s, 1e-9), 2)
+                thr = round(X100_RATIO * bf, 2)
+                retried = False
+                if ratio > thr:
+                    t_b = round(min(t_b, big_fn()), 3)
+                    ratio = round(t_b / max(t_s, 1e-9), 2)
+                    retried = True
+            except Exception as ex:  # noqa: BLE001
+                print(f"rehearsal x100: {name} failed: {ex}", file=sys.stderr)
+                continue
+            x100_rows.append(
+                {
+                    "query": name,
+                    "sec": {"1x": t_s, "100x": t_b},
+                    "growth_100x": ratio,
+                    # per-decade exponent the ratio implies:
+                    # t ∝ N^e with N ×100 → e = log10(ratio)/2
+                    "decade_exponent": round(
+                        math.log10(max(ratio, 1e-9)) / 2.0, 3
+                    ),
+                    "threshold": thr,
+                    "supralinear": ratio > thr,
+                    "supralinear_raw": ratio > X100_RATIO,
+                    **(
+                        {"byte_adjusted": True, "byte_factor": bf}
+                        if bf != 1.0
+                        else {}
+                    ),
+                    **({"retried": True} if retried else {}),
+                }
+            )
+
     out = {
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "reps": REPS,
@@ -912,6 +1055,7 @@ def main() -> None:
         "sf10_synthetic_rows": sf10_rows,
         "skew_rows": skew_rows,
         "skew_summary": skew_summary,
+        "x100_rows": x100_rows,
     }
     out_path = _flag_value("--out")
     if out_path:
