@@ -87,8 +87,30 @@ def main() -> None:
         except OSError:
             return -1.0
 
+    def _calibrate(reps_c: int = 3) -> float:
+        """Same fixed-work probe as bench.py: constant CPU-bound JVM
+        job whose wall time depends only on host conditions — recorded
+        at sweep start AND end so a degraded host (the r8 finding: the
+        probe read 2.3x its clean anchor with the VM's own CPUs idle)
+        self-identifies instead of reading as a streaming regression."""
+        from pyspark.sql import functions as F
+
+        samples = []
+        for _ in range(reps_c):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 64_000_000, 1, 32)
+                .select(F.xxhash64("id").alias("h"))
+                .agg(F.sum("h"))
+                .collect()
+            )
+            samples.append(time.perf_counter() - t0)
+        return round(sorted(samples)[len(samples) // 2], 3)
+
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     load_start = _load_1m()
+    _calibrate(1)  # warm (JIT) before the recorded probe
+    calibration_start = _calibrate()
 
     def _state_summary(progress: list) -> dict:
         """Collapse per-micro-batch progress into the numbers that
@@ -177,6 +199,8 @@ def main() -> None:
         "stat": "median",
         "load_1m_start": load_start,
         "load_1m_end": _load_1m(),
+        "calibration_start_sec": calibration_start,
+        "calibration_end_sec": _calibrate(),
         "cases": results,
     }
     if "--out" in sys.argv:
