@@ -246,7 +246,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     execution: dict[str, float] = {}
     construction: dict[str, float] = {}
-    for n in names:
+    # Probe SERIES through the sweep (round 8): a single start/end probe
+    # pair cannot normalize a sweep whose host speed DRIFTS mid-run (the
+    # r8 degraded-host epoch made every early-window query a spurious
+    # "mover"). A cheap 1-rep probe every PROBE_EVERY queries gives each
+    # query a nearest-in-time host-speed reading; bench_compare uses the
+    # series when both sides carry one. ~8 s overhead on a 220 s sweep.
+    PROBE_EVERY = 25
+    calibration_series: list[dict] = []
+    for qi, n in enumerate(names):
+        if "--all" in sys.argv and qi and qi % PROBE_EVERY == 0:
+            calibration_series.append(
+                {"after_n": qi, "sec": _calibrate(spark, reps=1)}
+            )
         try:
             # Level sweep-position state: collect predecessors' garbage,
             # then one un-timed rep at the measured SF so the timed reps
@@ -299,6 +311,11 @@ def main() -> None:
         "load_1m_end": _load_1m(),
         "calibration_start_sec": calibration_start,
         "calibration_end_sec": calibration_end,
+        **(
+            {"calibration_series": calibration_series}
+            if calibration_series
+            else {}
+        ),
     }
     detail = {
         "metric": "headline_wall_sec_detail",

@@ -29,6 +29,31 @@ def probe(d: dict) -> float | None:
     return (float(s) + float(e)) / 2.0
 
 
+def probe_at_factory(d: dict):
+    """Per-query host-speed reading: with a calibration SERIES (r8+),
+    each query gets the probe nearest its sweep position (linear
+    interpolation between readings), so a drifting host normalizes
+    per-window instead of by one sweep-wide constant. Isolated
+    re-timings always use the END probe (they run after the sweep)."""
+    names = sorted(d["queries"])
+    pts = [(0.0, d.get("calibration_start_sec"))]
+    for row in d.get("calibration_series", []):
+        pts.append((float(row["after_n"]), row["sec"]))
+    pts.append((float(len(names)), d.get("calibration_end_sec")))
+    pos = {n: i for i, n in enumerate(names)}
+
+    def probe_at(name: str) -> float:
+        x = pos.get(name, 0)
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            if x0 <= x <= x1:
+                if x1 == x0:
+                    return y1
+                return y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+        return pts[-1][1]
+
+    return probe_at, len(d.get("calibration_series", [])) > 0
+
+
 def main() -> None:
     flag = 1.3
     argv = sys.argv[1:]
@@ -55,6 +80,10 @@ def main() -> None:
     iso_o, iso_n = old.get("isolated", {}), new.get("isolated", {})
     common = sorted(set(qo) & set(qn))
 
+    pa_old, series_old = probe_at_factory(old) if calibrated else (None, False)
+    pa_new, series_new = probe_at_factory(new) if calibrated else (None, False)
+    use_series = calibrated and (series_old or series_new)
+
     movers = []
     total_o = total_n = 0.0
     for name in common:
@@ -63,7 +92,14 @@ def main() -> None:
         t_n = iso_n[name] if both_iso else qn[name]
         total_o += qo[name]
         total_n += qn[name]
-        norm = (t_n / p_new) / max(t_o / p_old, 1e-9)
+        if use_series:
+            # isolated rows ran post-sweep -> END probe; sweep rows use
+            # the series reading nearest their sweep position
+            po = old["calibration_end_sec"] if both_iso else pa_old(name)
+            pn = new["calibration_end_sec"] if both_iso else pa_new(name)
+        else:
+            po, pn = p_old, p_new
+        norm = (t_n / pn) / max(t_o / po, 1e-9)
         if norm > flag or norm < 1 / flag:
             movers.append(
                 {
@@ -88,6 +124,9 @@ def main() -> None:
         "sweep_total_ratio_raw": round(total_n / max(total_o, 1e-9), 3),
         "sweep_total_ratio_calibrated": round(
             (total_n / p_new) / max(total_o / p_old, 1e-9), 3
+        ),
+        "normalization": "probe_series" if use_series else (
+            "probe_pair" if calibrated else "raw"
         ),
         "flag": flag,
         "n_movers": len(movers),
