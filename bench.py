@@ -154,7 +154,7 @@ def _idle_gate(max_load: float, max_wait_sec: float) -> bool:
         time.sleep(5)
 
 
-def _calibrate(spark, reps: int = 3) -> float:
+def _calibrate(spark, reps: int = 3, agg: str = "median") -> float:
     """Fixed-work calibration probe (round 7, VERDICT r6 task 5): a
     constant CPU-bound JVM job — hash + reduce over a fixed 64M-row
     range, no IO, no Python — whose wall time depends only on host
@@ -162,7 +162,13 @@ def _calibrate(spark, reps: int = 3) -> float:
     round-to-round ledger drift from an unexplainable mystery into an
     auditable quotient: two sweeps' per-query numbers are comparable
     after dividing by their calibration ratio, and a sweep whose start
-    and end calibrations disagree is self-flagged as contaminated."""
+    and end calibrations disagree is self-flagged as contaminated.
+
+    ``agg='min'`` is for the MID-SWEEP series readings (round 9): the
+    probe's job is to read the host's available speed, and the min of
+    its samples is the least contaminated by one-off residue from the
+    query that just finished; the boundary probes keep the median-of-3
+    convention every prior round's anchors were recorded under."""
     from pyspark.sql import functions as F
 
     samples = []
@@ -175,7 +181,8 @@ def _calibrate(spark, reps: int = 3) -> float:
             .collect()
         )
         samples.append(time.perf_counter() - t0)
-    return round(sorted(samples)[len(samples) // 2], 3)
+    val = min(samples) if agg == "min" else sorted(samples)[len(samples) // 2]
+    return round(val, 3)
 
 
 # How many of the sweep's slowest queries get an isolated re-timing in
@@ -249,15 +256,25 @@ def main() -> None:
     # Probe SERIES through the sweep (round 8): a single start/end probe
     # pair cannot normalize a sweep whose host speed DRIFTS mid-run (the
     # r8 degraded-host epoch made every early-window query a spurious
-    # "mover"). A cheap 1-rep probe every PROBE_EVERY queries gives each
-    # query a nearest-in-time host-speed reading; bench_compare uses the
-    # series when both sides carry one. ~8 s overhead on a 220 s sweep.
+    # "mover"). A probe every PROBE_EVERY queries gives each query a
+    # nearest-in-time host-speed reading; bench_compare uses the series
+    # when both sides carry one. Round-9 hardening (the r8 series was
+    # 1-rep, un-GC'd, and over-read sweep-internal residue by ~3× —
+    # 203/221 spurious "movers" when used as a divisor): GC first, then
+    # min-of-2 samples, so the reading tracks HOST speed, not the heap
+    # state the previous query left behind. ~25 s overhead on a 220 s
+    # sweep. `after_n` indexes the FULL sweep order — emitted below as
+    # `sweep_order`, failures included — NOT the surviving timings keys
+    # (round-8 ADVICE: reconstructing positions from the timings dict
+    # compresses indices after any mid-sweep failure and normalizes
+    # every later query against the wrong probe reading).
     PROBE_EVERY = 25
     calibration_series: list[dict] = []
     for qi, n in enumerate(names):
         if "--all" in sys.argv and qi and qi % PROBE_EVERY == 0:
+            jvm_gc()
             calibration_series.append(
-                {"after_n": qi, "sec": _calibrate(spark, reps=1)}
+                {"after_n": qi, "sec": _calibrate(spark, reps=2, agg="min")}
             )
         try:
             # Level sweep-position state: collect predecessors' garbage,
@@ -321,6 +338,10 @@ def main() -> None:
         "metric": "headline_wall_sec_detail",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # Full sweep order, FAILURES INCLUDED — the calibration series'
+        # after_n values index this list. Detail record only (221 names
+        # would overflow the compact line's tail-window budget).
+        "sweep_order": names,
         "queries": timings,
         # Split secondary series: where each query's total comes from.
         "execution": execution,

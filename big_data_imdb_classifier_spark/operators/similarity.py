@@ -108,15 +108,41 @@ def corpus_row_count(sf_dir: str, table: str = "embeddings") -> int:
     single file OR a Spark-written directory of part files (any corpus
     the engine itself materialized, e.g. the scale rehearsal's 10×
     embeddings) — sum ``num_rows`` across part footers in that case.
-    A failed probe (missing path, non-parquet payload) returns 0 so
-    callers keep their exact plan instead of crashing the query on a
-    predicate that exists purely to pick a faster plan."""
+
+    A ``synthetic://`` sf_dir (the storage-free scale-rehearsal
+    DataSources) carries its row counts IN THE URI — parse them instead
+    of probing the filesystem, where ``os.path.join`` on the URI can
+    never resolve (round-8 ADVICE: the fallthrough silently disabled
+    the ANN/SemDeDup switch for exactly the largest rehearsal corpora
+    the scale path is built for).
+
+    A failed filesystem probe (missing path, non-parquet payload)
+    returns 0 so callers keep their exact plan instead of crashing the
+    query on a predicate that exists purely to pick a faster plan — but
+    the swallowed exception is logged so a genuinely broken probe
+    (permissions, corrupt footer) is visible, not misread as
+    'small corpus'."""
     import glob
+    import logging
     import os
 
     import pyarrow.parquet as pq
 
     import pyarrow as pa
+
+    if sf_dir.startswith("synthetic://"):
+        from urllib.parse import parse_qsl, urlparse
+
+        opts = dict(parse_qsl(urlparse(sf_dir).query))
+        key = {
+            "embeddings": "emb_rows",
+            "documents": "doc_rows",
+            "events": "rows",
+        }.get(table, "rows")
+        try:
+            return int(opts.get(key, "0"))
+        except ValueError:
+            return 0
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
@@ -124,7 +150,13 @@ def corpus_row_count(sf_dir: str, table: str = "embeddings") -> int:
             parts = glob.glob(os.path.join(path, "*.parquet"))
             return sum(pq.read_metadata(p).num_rows for p in parts)
         return pq.read_metadata(path).num_rows
-    except (OSError, pa.ArrowException):  # missing path / not parquet
+    except (OSError, pa.ArrowException) as exc:  # missing path / not parquet
+        logging.getLogger(__name__).warning(
+            "corpus_row_count: footer probe of %s failed (%r) — "
+            "returning 0, callers keep the exact plan",
+            path,
+            exc,
+        )
         return 0
 
 

@@ -205,6 +205,11 @@ _COS_DUP_THRESHOLD = 0.45
 
 @query(
     "dedup_embedding_cosine",
+    # The oracle replays the EXACT (below-switch) plan; at/above the
+    # ANN/SemDeDup switch the Spark side returns the candidate-
+    # enumeration subset and a hash compare fails BY DESIGN — sweep
+    # tools downgrade to rows-only there (round-8 ADVICE).
+    oracle_valid_below=("embeddings", SIM.ANN_SWITCH_MIN_CORPUS),
     oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -760,6 +765,11 @@ _MS_TOPK = 10
 
 @query(
     "sim_maxsim_multivector",
+    # The oracle replays the EXACT (below-switch) plan; at/above the
+    # ANN/SemDeDup switch the Spark side returns the candidate-
+    # enumeration subset and a hash compare fails BY DESIGN — sweep
+    # tools downgrade to rows-only there (round-8 ADVICE).
+    oracle_valid_below=("embeddings", SIM.ANN_SWITCH_MIN_CORPUS),
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -920,6 +930,11 @@ _MRL_TRUNC_SQL = "\n      UNION ALL\n".join(
 
 @query(
     "knn_matryoshka_dim_recall",
+    # The oracle replays the EXACT (below-switch) plan; at/above the
+    # ANN/SemDeDup switch the Spark side returns the candidate-
+    # enumeration subset and a hash compare fails BY DESIGN — sweep
+    # tools downgrade to rows-only there (round-8 ADVICE).
+    oracle_valid_below=("embeddings", SIM.ANN_SWITCH_MIN_CORPUS),
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -1025,6 +1040,11 @@ _HN_K = 5
 
 @query(
     "knn_hard_negative_mining",
+    # The oracle replays the EXACT (below-switch) plan; at/above the
+    # ANN/SemDeDup switch the Spark side returns the candidate-
+    # enumeration subset and a hash compare fails BY DESIGN — sweep
+    # tools downgrade to rows-only there (round-8 ADVICE).
+    oracle_valid_below=("embeddings", SIM.ANN_SWITCH_MIN_CORPUS),
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label AS ql

@@ -110,7 +110,13 @@ def _scan_partitions_estimate(spark: SparkSession, sf_dir: str) -> int:
     per_core = total / max(1, spark.sparkContext.defaultParallelism)
     max_split = min(max_part, max(open_cost, int(per_core)))
     # Split each file at maxSplitBytes, then greedy-pack (desc order,
-    # like Spark) with the open cost as per-split padding.
+    # like Spark). Spark's FilePartition.getFilePartitions closes a
+    # partition when `currentSize + split.length > maxSplitBytes` — the
+    # RAW split length, open cost excluded — and only then accumulates
+    # `currentSize += split.length + openCostInBytes`. Counting the open
+    # cost in the overflow check too overshoots the planned count near
+    # the boundary, which skipped the CPU-spreading repartition in
+    # exactly the borderline small-file cases (round-8 ADVICE).
     splits = []
     for s in sizes:
         while s > max_split:
@@ -121,11 +127,10 @@ def _scan_partitions_estimate(spark: SparkSession, sf_dir: str) -> int:
     splits.sort(reverse=True)
     parts, cur = 0, 0
     for s in splits:
-        padded = s + open_cost
-        if cur > 0 and cur + padded > max_split:
+        if cur > 0 and cur + s > max_split:
             parts += 1
             cur = 0
-        cur += padded
+        cur += s + open_cost
     return parts + (1 if cur > 0 else 0) or 1
 
 # ---------------------------------------------------------------------------

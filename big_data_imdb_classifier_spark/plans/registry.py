@@ -25,6 +25,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Oracles valid only BELOW a corpus-size bound (round-8 ADVICE): a query
+# that auto-switches its exact plan to a candidate-enumeration scale
+# path above a row-count threshold keeps an oracle that replays the
+# BELOW-threshold plan — at/above the bound the Spark result is the
+# switched subset and the comparison would fail BY DESIGN, not by bug.
+# Maps query name -> (table probed by the switch, min rows at which the
+# switch fires). Sweep tools (tools/driver_sim.py) downgrade the check
+# to rows-only in the switched regime; the driver's own gate always
+# runs at sf0.01, far below every bound.
+ORACLE_VALID_BELOW: dict[str, tuple[str, int]] = {}
+
 ROUND_DIGITS = 4
 
 
@@ -47,12 +58,20 @@ def format_doc(fn: Callable, **params: object) -> None:
     fn.__doc__ = doc
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str,
+    oracle: str | None = None,
+    oracle_valid_below: tuple[str, int] | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Register a named query and (optionally) its DuckDB oracle SQL.
 
     Queries without an oracle get the driver's weaker rows-only check —
     reserved for genuinely non-SQL-expressible ops (ML training, LSH
     bucketing with library hashes, streaming state).
+
+    ``oracle_valid_below=(table, min_rows)`` marks the oracle as valid
+    only while ``table`` has fewer than ``min_rows`` rows — the regime
+    gate for plan-switching queries (see ORACLE_VALID_BELOW).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -61,6 +80,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if oracle_valid_below is not None:
+            ORACLE_VALID_BELOW[name] = oracle_valid_below
         return fn
 
     return deco

@@ -295,6 +295,53 @@ def test_corpus_row_count_file_dir_and_missing(spark, tmp_path):
     assert SIM.corpus_row_count(str(garbage)) == 0
 
 
+def test_corpus_row_count_synthetic_uri():
+    """synthetic:// corpora carry their row counts in the URI — the
+    probe must parse them instead of falling through the filesystem
+    branch to 0 (round-8 ADVICE: that silently disabled the ANN/SemDeDup
+    switch for exactly the largest rehearsal corpora the scale path is
+    built for)."""
+    uri = (
+        "synthetic://?rows=1000000&doc_rows=50000&doc_base=5000"
+        "&emb_rows=2000000&emb_base=2000&seed=1&partitions=64"
+    )
+    assert SIM.corpus_row_count(uri, "embeddings") == 2_000_000
+    assert SIM.corpus_row_count(uri, "documents") == 50_000
+    assert SIM.corpus_row_count(uri, "events") == 1_000_000
+    # a URI that doesn't size the table -> 0 (exact-plan fallback)
+    assert SIM.corpus_row_count("synthetic://?rows=10", "embeddings") == 0
+    # the switch itself fires off the parsed count
+    assert (
+        SIM.corpus_row_count(uri, "embeddings") >= SIM.ANN_SWITCH_MIN_CORPUS
+    )
+
+
+def test_switched_oracles_registered_with_corpus_scope():
+    """The four plan-switching queries keep oracles that replay the
+    BELOW-switch exact plan; each must carry the ORACLE_VALID_BELOW
+    marker so sweep tools downgrade the hash compare to rows-only in
+    the switched regime instead of failing by design (round-8
+    ADVICE)."""
+    from big_data_imdb_classifier_spark.plans import load_all
+    from big_data_imdb_classifier_spark.plans.registry import (
+        ORACLE_VALID_BELOW,
+        ORACLES,
+    )
+
+    load_all()
+    for name in (
+        "dedup_embedding_cosine",
+        "knn_hard_negative_mining",
+        "sim_maxsim_multivector",
+        "knn_matryoshka_dim_recall",
+    ):
+        assert ORACLE_VALID_BELOW.get(name) == (
+            "embeddings",
+            SIM.ANN_SWITCH_MIN_CORPUS,
+        ), name
+        assert name in ORACLES, name  # the oracle itself stays registered
+
+
 def test_embedding_dedup_auto_switch_to_semdedup(spark, monkeypatch):
     """VERDICT r7 task 8: the exact blocked-GEMM all-pairs dedup yields
     to the cluster-local SemDeDup enumeration above the corpus

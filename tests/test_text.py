@@ -511,3 +511,55 @@ def test_bpe_segment_col_round_trips_reference(spark):
         for w, seg in zip(words, row["segs"]):
             assert seg == ref_apply(w, merges), (w, seg)
             assert "".join(seg) == w
+
+
+def test_scan_partitions_estimate_matches_spark_planner(spark, tmp_path):
+    """_scan_partitions_estimate must reproduce Spark's OWN
+    FilePartition bin-packing — estimate == the partition count the
+    parquet scan actually plans — across open-cost regimes including
+    the boundary where Spark packs a split whose raw length fits but
+    whose open-cost-padded length does not (round-8 ADVICE: counting
+    the open cost in the overflow check overshoots there, silently
+    skipping the CPU-spreading repartition)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_imdb_classifier_spark.plans.queries_text import (
+        _scan_partitions_estimate,
+    )
+
+    docs_dir = tmp_path / "documents.parquet"
+    docs_dir.mkdir()
+    # 60 small files of a few KB each — the many-small-shards corpus
+    # layout the estimate exists for.
+    for i in range(60):
+        tbl = pa.table(
+            {
+                "doc_id": list(range(i * 10, i * 10 + 10)),
+                "text": [f"token{i}_{j} " * 40 for j in range(10)],
+            }
+        )
+        pq.write_table(tbl, docs_dir / f"shard{i:03d}.parquet")
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    try:
+        # Sweep open costs so the greedy packing crosses partition
+        # boundaries at different points (incl. the fits-raw-but-not-
+        # padded boundary); equality must hold at every setting.
+        for open_cost in ("1024b", "2048b", "4096b", "8192b", "16384b"):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728b")
+            spark.conf.set("spark.sql.files.openCostInBytes", open_cost)
+            actual = spark.read.parquet(str(docs_dir)).rdd.getNumPartitions()
+            est = _scan_partitions_estimate(spark, str(tmp_path))
+            assert est == actual, (
+                f"openCost={open_cost}: estimate {est} != planned {actual}"
+            )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -34,8 +34,17 @@ def probe_at_factory(d: dict):
     each query gets the probe nearest its sweep position (linear
     interpolation between readings), so a drifting host normalizes
     per-window instead of by one sweep-wide constant. Isolated
-    re-timings always use the END probe (they run after the sweep)."""
-    names = sorted(d["queries"])
+    re-timings always use the END probe (they run after the sweep).
+
+    Positions come from the artifact's ``sweep_order`` (r9+): the
+    series' after_n values index the FULL sweep order, failures
+    included. Reconstructing positions from the surviving timings keys
+    (the r8 fallback, kept only for r8-era artifacts) compresses
+    indices after any mid-sweep failure and normalizes every later
+    query against the wrong probe reading (round-8 ADVICE) — r8
+    artifacts this tool compares had zero failed queries, so the
+    fallback is exact for them."""
+    names = d.get("sweep_order") or sorted(d["queries"])
     pts = [(0.0, d.get("calibration_start_sec"))]
     for row in d.get("calibration_series", []):
         pts.append((float(row["after_n"]), row["sec"]))
