@@ -164,6 +164,11 @@ _TOTALS_STATE = T.StructType(
     [
         T.StructField("n", T.LongType(), True),
         T.StructField("total", T.DoubleType(), True),
+        # Eviction-policy deadline (ms) and the deadline actually ARMED
+        # in the store — kept in the state tuple so re-arming can be
+        # lazy (see running_user_totals_stream docstring).
+        T.StructField("policy_dl", T.LongType(), True),
+        T.StructField("armed_dl", T.LongType(), True),
     ]
 )
 
@@ -191,16 +196,39 @@ def running_user_totals_stream(
     operator). Anchoring the deadline to the key's own event time (not
     bare ``watermark + retention``) matters on the FIRST batch, where
     the watermark is still 0: a 0-anchored deadline would mass-evict
-    every batch-1 key as soon as the watermark advances."""
+    every batch-1 key as soon as the watermark advances.
+
+    Re-arming is LAZY (round 9, VERDICT r8 task 3): the store timeout
+    is set only when the policy deadline has drifted more than a slack
+    window (retention/10) past the armed one; the policy deadline
+    itself rides in the state tuple (whose row the accumulator update
+    writes anyway, so tracking it is free). A key whose armed deadline
+    fires early — it sat within the slack of its true horizon — is NOT
+    evicted blindly: the timeout invocation compares the watermark to
+    the stored POLICY deadline and re-arms at it when the key has not
+    actually been idle past retention, so eviction semantics stay
+    exact while active keys skip the per-batch timestamp property
+    sync."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    slack_ms = max(idle_retention_ms // 10, 1)
+
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            # Idle past the retention horizon in event time: evict.
-            state.remove()
+            n, total, policy_dl, armed_dl = state.get
+            if state.getCurrentWatermarkMs() >= policy_dl:
+                # Idle past the retention horizon in event time: evict.
+                state.remove()
+            else:
+                # Armed early (lazy re-arm skipped the intermediate
+                # writes): push the store deadline to the policy one.
+                state.update((n, total, policy_dl, policy_dl))
+                state.setTimeoutTimestamp(policy_dl)
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total, policy_dl, armed_dl = (
+            state.get if state.exists else (0, 0.0, 0, 0)
+        )
         last_ms = 0
         for pdf in pdfs:
             n += len(pdf)
@@ -208,10 +236,14 @@ def running_user_totals_stream(
             mx = pdf["ts"].max()
             if pd.notna(mx):
                 last_ms = max(last_ms, int(mx.value // 1_000_000))
-        state.update((n, total))
-        state.setTimeoutTimestamp(
-            max(state.getCurrentWatermarkMs(), last_ms) + idle_retention_ms
+        policy_dl = max(
+            policy_dl,
+            max(state.getCurrentWatermarkMs(), last_ms) + idle_retention_ms,
         )
+        if policy_dl > armed_dl + slack_ms:
+            state.setTimeoutTimestamp(policy_dl)
+            armed_dl = policy_dl
+        state.update((n, total, policy_dl, armed_dl))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
         )
@@ -446,7 +478,15 @@ _PATTERN_OUT = T.StructType(
         T.StructField("clean", T.IntegerType(), True),
     ]
 )
-_PATTERN_STATE = T.StructType([T.StructField("seq", T.StringType(), True)])
+_PATTERN_STATE = T.StructType(
+    [
+        T.StructField("seq", T.StringType(), True),
+        # policy/armed eviction deadlines for lazy re-arming — same
+        # scheme as _TOTALS_STATE (see running_user_totals_stream).
+        T.StructField("policy_dl", T.LongType(), True),
+        T.StructField("armed_dl", T.LongType(), True),
+    ]
+)
 
 
 def pattern_funnel_stream(
@@ -482,13 +522,23 @@ def pattern_funnel_stream(
 
     pat = _re.compile("vc*p")
     clean_pat = _re.compile("v[^e]*p")
+    slack_ms = max(idle_retention_ms // 10, 1)
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            # Idle past the retention horizon: drop the key entirely.
-            state.remove()
+            seq, policy_dl, armed_dl = state.get
+            if state.getCurrentWatermarkMs() >= policy_dl:
+                # Idle past the retention horizon: drop the key.
+                state.remove()
+            else:
+                # Armed early under lazy re-arming — keep the key and
+                # push the store deadline to the policy one.
+                state.update((seq, policy_dl, policy_dl))
+                state.setTimeoutTimestamp(policy_dl)
             return
-        seq = state.get[0] if state.exists else ""
+        seq, policy_dl, armed_dl = (
+            state.get if state.exists else ("", 0, 0)
+        )
         frames = list(pdfs)
         last_ms = 0
         if frames:
@@ -498,19 +548,28 @@ def pattern_funnel_stream(
             if pd.notna(mx):
                 last_ms = int(mx.value // 1_000_000)
         seq = seq[-max_len:]
-        state.update((seq,))
-        # Re-arm eviction from the key's LAST EVENT TIME (floored at the
-        # current watermark), so the timeout fires only after the user
-        # has been idle for the full retention window in event time.
-        # The r7 form armed at bare watermark+retention: on the first
-        # micro-batch the watermark is still 0, so every batch-1 key got
-        # a 1970-epoch deadline and was mass-evicted (state destroyed,
-        # then recreated) the moment the watermark advanced — the bulk
-        # of the −62% STREAMBENCH_r07 regression, and a cross-batch
-        # correctness hole for any key whose history spanned the evict.
-        state.setTimeoutTimestamp(
-            max(state.getCurrentWatermarkMs(), last_ms) + idle_retention_ms
+        # Eviction policy deadline: the key's LAST EVENT TIME (floored
+        # at the current watermark) + retention, so the timeout fires
+        # only after the user has been idle for the full retention
+        # window in event time. The r7 form armed at bare
+        # watermark+retention: on the first micro-batch the watermark
+        # is still 0, so every batch-1 key got a 1970-epoch deadline
+        # and was mass-evicted (state destroyed, then recreated) the
+        # moment the watermark advanced — the bulk of the −62%
+        # STREAMBENCH_r07 regression, and a cross-batch correctness
+        # hole for any key whose history spanned the evict. The store
+        # timeout re-arms LAZILY (only once the policy deadline drifts
+        # a slack window past the armed one); a too-early firing
+        # re-arms at the policy deadline instead of evicting — same
+        # scheme as running_user_totals_stream.
+        policy_dl = max(
+            policy_dl,
+            max(state.getCurrentWatermarkMs(), last_ms) + idle_retention_ms,
         )
+        if policy_dl > armed_dl + slack_ms:
+            state.setTimeoutTimestamp(policy_dl)
+            armed_dl = policy_dl
+        state.update((seq, policy_dl, armed_dl))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

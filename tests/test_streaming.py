@@ -537,3 +537,81 @@ def test_pattern_funnel_no_mass_evict_on_first_watermark_advance(
     assert (7, 1) in rows, (
         f"batch-1 state lost on first watermark advance: {rows}"
     )
+
+
+def test_totals_early_timeout_fire_rearms_instead_of_evicting(
+    spark, tmp_path
+):
+    """Lazy re-arming (round 9, VERDICT r8 task 3) must not change
+    eviction SEMANTICS: the store timeout is re-armed only when the
+    policy deadline drifts a slack window past the armed one, so a
+    key's timeout can fire EARLY — between its armed and policy
+    deadlines. That firing must re-arm at the policy deadline and keep
+    the accumulator (the key was not idle past retention); only a
+    watermark past the POLICY deadline evicts. Retention 24h, slack
+    2.4h, watermark delay 2h throughout."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [Row(user_id=u, ts=t0 + dt.timedelta(hours=h), value=v)
+             for u, h, v in rows],
+            schema,
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def drain(tag):
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        return _drain_with_ckpt(
+            spark,
+            ST.running_user_totals_stream(stream),
+            f"t_totals_early_fire_{tag}",
+            ckpt,
+        )
+
+    # b1: key 1 armed at t0+24h (policy == armed).
+    write_batch("b1", [(1, 0, 1.0)])
+    drain("b1")
+    # b2: key 1 advances its policy to t0+25h — WITHIN the 2.4h slack
+    # of the armed t0+24h, so the store timeout is NOT re-armed; key 9
+    # pushes the max event time to t0+26.5h.
+    write_batch("b2", [(1, 1, 2.0), (9, 26.5, 0.5)])
+    drain("b2")
+    # b3: watermark at batch start = t0+26.5h - 2h = t0+24.5h — past
+    # key 1's ARMED deadline but short of its POLICY one. The timeout
+    # fires early; the lazy scheme must re-arm, not evict.
+    write_batch("b3", [(9, 28, 0.5)])
+    drain("b3")
+    # b4: key 1 returns (ts >= watermark so the row is not late-dropped);
+    # its accumulator must still carry batches 1-2.
+    write_batch("b4", [(1, 26.5, 4.0)])
+    out4 = drain("b4")
+    rows4 = {(r["user_id"], r["n_events"], r["sum_value"]) for r in out4}
+    assert (1, 3, 7.0) in rows4, (
+        f"early timeout fire destroyed state: {rows4}"
+    )
+    # b5/b6: key 1 goes truly idle; once the watermark passes its
+    # policy deadline (t0+26.5h + 24h = t0+50.5h) it must be evicted.
+    write_batch("b5", [(9, 80, 0.5)])
+    drain("b5")
+    write_batch("b6", [(9, 90, 0.5)])
+    drain("b6")
+
+    meta = ST.read_state_metadata(spark, ckpt).collect()
+    state = ST.read_state(spark, ckpt, operator_id=meta[0]["operatorId"])
+    keys = {r["key"][0] for r in state.collect()}
+    assert 1 not in keys, f"idle key survived past policy deadline: {keys}"
+    assert 9 in keys

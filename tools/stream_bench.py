@@ -22,7 +22,18 @@ Like bench.py, each case is drained ``$SPARK_GRAFT_BENCH_REPS`` times
 carries the 1-minute load averages so contaminated recordings are
 self-identifying.
 
+ISOLATED series (round 9, VERDICT r8 task 1 — the STREAMSPREAD twin of
+bench.py's isolated slow tail): after the sweep, every case is
+re-drained isolated — JVM GC, one un-timed warm drain, then
+median-of-3 timed drains, with a 1-rep calibration probe recorded
+per case — and emitted as ``isolated`` rows carrying
+``isolated_rows_per_sec`` + ``probe_sec``. Streaming throughput bars
+are adjudicated from THIS series, not from sweep rows or prose: the
+sweep numbers keep sweep-position state (checkpoint dirs, JVM heap,
+page cache) exactly like batch in-sweep numbers do.
+
 Usage: python tools/stream_bench.py [--out PATH] [--baseline PATH]
+                                    [--only case1,case2]
 """
 
 from __future__ import annotations
@@ -191,6 +202,51 @@ def main() -> None:
             + f"{out_rows:>8} out  {name}"
         )
 
+    def _jvm_gc() -> None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
+    # ISOLATED re-drain series (VERDICT r8 task 1): GC + warm +
+    # median-of-3 per case, each stamped with its own 1-rep probe so a
+    # degraded-host reading self-identifies per ROW, not per sweep.
+    # This is the canonical series for throughput bars.
+    isolated: dict[str, dict] = {}
+    for name, build in cases.items():
+        try:
+            _jvm_gc()
+            probe_sec = _calibrate(1)
+            walls = []
+            for rep in range(reps + 1):  # rep 0 = un-timed warm drain
+                ev = S.load_events_stream(spark, SF_DIR)
+                df, mode = build(ev)
+                t0 = time.perf_counter()
+                out, _prog = S.run_to_memory(
+                    spark, df, f"sbi_{name}_{rep}",
+                    output_mode=mode, timeout_sec=600,
+                    with_progress=True,
+                )
+                out.count()
+                if rep:
+                    walls.append(time.perf_counter() - t0)
+        except Exception as ex:  # noqa: BLE001
+            print(f"stream_bench: isolated {name} failed: {ex}",
+                  file=sys.stderr)
+            continue
+        wall = sorted(walls)[len(walls) // 2]
+        isolated[name] = {
+            "isolated_sec": round(wall, 3),
+            "isolated_rows_per_sec": round(n_rows / wall),
+            "probe_sec": probe_sec,
+            "walls": [round(w, 3) for w in walls],
+        }
+        print(
+            f"isolated {isolated[name]['isolated_sec']:7.2f}s  "
+            f"{isolated[name]['isolated_rows_per_sec']:>9,} rows/s  "
+            f"(probe {probe_sec}s)  {name}"
+        )
+
     summary = {
         "metric": "stream_drain",
         "input_rows": n_rows,
@@ -202,6 +258,7 @@ def main() -> None:
         "calibration_start_sec": calibration_start,
         "calibration_end_sec": _calibrate(),
         "cases": results,
+        "isolated": isolated,
     }
     if "--out" in sys.argv:
         i = sys.argv.index("--out") + 1
