@@ -1003,6 +1003,62 @@ def main() -> None:
             spark.catalog.clearCache()
             return round(time.perf_counter() - t0, 3)
 
+        # Text trio at the 100× decade (round 9, VERDICT r8 task 6):
+        # the banded-LSH pair dedup, the prefix-filtered exact-Jaccard
+        # dedup (whose vocabulary-sized broadcast→shuffle join switch
+        # had only ever fired at 10×), and the composed curation
+        # funnel. Corpora are MATERIALIZED to parquet once (same
+        # precedent as the Zipf events): the timing measures a columnar
+        # scan, not per-row Python generation, which would add a large
+        # linear floor to both sides and dilute any real growth signal.
+        def _docs_dir_n(docs_n: int) -> str:
+            path = os.path.join(base_dir, f"docs_x_{docs_n}")
+            tbl = os.path.join(path, "documents.parquet")
+            if not os.path.exists(os.path.join(tbl, "_SUCCESS")):
+                t0 = time.perf_counter()
+                (
+                    load_table(spark, synth_docs_n(docs_n), "documents")
+                    .repartition(64)
+                    .write.mode("overwrite")
+                    .parquet(tbl)
+                )
+                print(
+                    f"materialized {docs_n}-doc corpus in "
+                    f"{time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
+            return path
+
+        trio_small = _docs_dir_n(x100_doc_small)
+        trio_big = _docs_dir_n(x100_doc_big)
+        trio_bf = round(
+            _doc_bytes(trio_big) / (100.0 * _doc_bytes(trio_small)), 3
+        )
+
+        def _jaccard_join_shape(sf_dir: str) -> dict:
+            """Join-node census of the jaccard plan — the in-plan
+            evidence that the corpus-scaled dfreq join switch fired:
+            below the vocabulary bound the doc-frequency join is a
+            BroadcastHashJoin; above it, a shuffle join on the shingle
+            key (plans/queries_text.py)."""
+            df = plans.QUERIES["dedup_ngram_jaccard_prefix"](spark, sf_dir)
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return {
+                k: p.count(k)
+                for k in (
+                    "BroadcastHashJoin",
+                    "SortMergeJoin",
+                    "ShuffledHashJoin",
+                )
+            }
+
+        x100_extra_fields = {
+            "dedup_ngram_jaccard_prefix": {
+                "plan_small": _jaccard_join_shape(trio_small),
+                "plan_big": _jaccard_join_shape(trio_big),
+            }
+        }
+
         x100_cases = [
             (
                 "dedup_incremental_new_vs_corpus",
@@ -1016,6 +1072,19 @@ def main() -> None:
                 ),
                 doc_byte_factor_100,
             ),
+        ] + [
+            (
+                q,
+                lambda q=q: run(q, trio_small),
+                lambda q=q: run(q, trio_big),
+                trio_bf,
+            )
+            for q in (
+                "dedup_minhash_lsh_pairs",
+                "dedup_ngram_jaccard_prefix",
+                "corpus_curation_e2e",
+            )
+        ] + [
             (
                 "x100_count_enrich_salted_zipf",
                 lambda: _t100(
@@ -1076,6 +1145,7 @@ def main() -> None:
                         if len(big_samples) > 1
                         else {}
                     ),
+                    **x100_extra_fields.get(name, {}),
                 }
             )
 
