@@ -110,6 +110,15 @@ def main() -> None:
             po, pn = p_old, p_new
         norm = (t_n / pn) / max(t_o / po, 1e-9)
         if norm > flag or norm < 1 / flag:
+            # Sub-second SWEEP rows are advisory, not gated (round 9,
+            # VERDICT r8 task 8): a fixed-overhead query at 0.3-0.5 s
+            # swings >1.3x on scheduler jitter alone — window_analytics
+            # "moved" three consecutive rounds on an unchanged,
+            # plan-audit-clean plan. Regression CALLS for <1 s queries
+            # come only from the isolated series; sweep-series
+            # sub-second movers stay listed but don't count toward
+            # n_movers.
+            sub_second = (not both_iso) and t_o < 1.0 and t_n < 1.0
             movers.append(
                 {
                     "query": name,
@@ -117,9 +126,11 @@ def main() -> None:
                     "new_sec": t_n,
                     "normalized_ratio": round(norm, 2),
                     "series": "isolated" if both_iso else "sweep",
+                    **({"sub_second_sweep": True} if sub_second else {}),
                 }
             )
     movers.sort(key=lambda m: -m["normalized_ratio"])
+    n_sub_second = sum(1 for m in movers if m.get("sub_second_sweep"))
     summary = {
         "common_queries": len(common),
         "calibrated": calibrated,
@@ -138,7 +149,10 @@ def main() -> None:
             "probe_pair" if calibrated else "raw"
         ),
         "flag": flag,
-        "n_movers": len(movers),
+        # gated count: movers needing attribution (sub-second sweep
+        # rows are advisory — see the loop comment)
+        "n_movers": len(movers) - n_sub_second,
+        "n_movers_sub_second_sweep": n_sub_second,
     }
     print(json.dumps({"summary": summary, "movers": movers}, indent=1))
 
