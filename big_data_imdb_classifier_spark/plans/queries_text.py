@@ -946,6 +946,58 @@ def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREFIX_THRESHOLD = 0.8  # prefix filtering pays when 1-t is small
 
 
+def jaccard_prefix_index(
+    spark: SparkSession,
+    sf_dir: str,
+    t: float = _PREFIX_THRESHOLD,
+    vocab_budget: int = 10_000_000,
+):
+    """(shingles, prefix index) for the prefix-filtered Jaccard dedup,
+    PRE-checkpoint. Exposed as a module function because the query
+    localCheckpoints the index, after which the corpus-scaled dfreq
+    join strategy is invisible in the query's own plan (the checkpoint
+    compiles the subplan to an RDD; downstream plans show only its
+    scan) — plan probes (scale rehearsal, tests) inspect the index
+    returned here instead."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", TX.word_shingles_col("text", 3).alias("s")
+    )
+    # explode_outer + isNotNull: avoid the inferred-filter double
+    # evaluation of the shingle expression (see explode_no_refilter).
+    inv = sh.select(
+        "doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("g")
+    ).where(F.col("g").isNotNull())
+    dfreq = inv.groupBy("g").agg(F.count("*").alias("_df"))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("g"))
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    # CORPUS-SCALED join strategy for dfreq: it is VOCABULARY-sized
+    # (distinct shingles ≈ 52·docs — ~26M rows at the 100×-bench
+    # synthetic decade, where an unconditional broadcast was the
+    # round-6 rehearsal's one supralinear flag; unbounded at 100 TB).
+    # Catalyst won't pick broadcast itself (aggregate size estimates
+    # are pessimistic and the table clears the AQE auto-broadcast
+    # threshold well before the corpus is big), so choose explicitly:
+    # broadcast while the vocabulary comfortably fits an executor
+    # (≲10M entries — measured 2× faster locally than the shuffle
+    # join), shuffle-join on `g` beyond (reusing dfreq's own
+    # aggregation exchange). The doc count is a parquet-footer
+    # metadata read; the same corpus-scaled-parameter philosophy as
+    # SIM.ivf_params.
+    vocab_fits = docs.count() * 52 <= vocab_budget
+    idx = (
+        inv.join(F.broadcast(dfreq) if vocab_fits else dfreq, "g")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= prefix_len)
+        .select("doc_id", "g")
+        .repartition("g")
+    )
+    return sh, idx
+
+
 @query(
     "dedup_ngram_jaccard_prefix",
     oracle=f"""
@@ -978,46 +1030,17 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     index at 100 TB). Verification computes the full Jaccard, so the
     filter can only prune, never err."""
     t = _PREFIX_THRESHOLD
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", TX.word_shingles_col("text", 3).alias("s")
-    )
-    # explode_outer + isNotNull: avoid the inferred-filter double
-    # evaluation of the shingle expression (see explode_no_refilter).
-    inv = sh.select(
-        "doc_id", F.size("s").alias("sz"), F.explode_outer("s").alias("g")
-    ).where(F.col("g").isNotNull())
-    dfreq = inv.groupBy("g").agg(F.count("*").alias("_df"))
-
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("g"))
-    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    # CORPUS-SCALED join strategy for dfreq: it is VOCABULARY-sized
-    # (distinct shingles ≈ 52·docs — ~26M rows at the 100×-bench
-    # synthetic decade, where an unconditional broadcast was the
-    # round-6 rehearsal's one supralinear flag; unbounded at 100 TB).
-    # Catalyst won't pick broadcast itself (aggregate size estimates
-    # are pessimistic and the table clears the AQE auto-broadcast
-    # threshold well before the corpus is big), so choose explicitly:
-    # broadcast while the vocabulary comfortably fits an executor
-    # (≲10M entries — measured 2× faster locally than the shuffle
-    # join), shuffle-join on `g` beyond (reusing dfreq's own
-    # aggregation exchange). The doc count is a parquet-footer
-    # metadata read; the same corpus-scaled-parameter philosophy as
-    # SIM.ivf_params.
-    vocab_fits = docs.count() * 52 <= 10_000_000
-    idx = (
-        inv.join(F.broadcast(dfreq) if vocab_fits else dfreq, "g")
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= prefix_len)
-        .select("doc_id", "g")
-        .repartition("g")
-        # Materialize the (small) prefix index once: its lineage (shingle
-        # explode + DF join + rank window) would otherwise re-execute for
-        # each self-join branch.
-        .localCheckpoint(eager=False)
-    )
+    sh, idx = jaccard_prefix_index(spark, sf_dir, t)
+    # Materialize the (small) prefix index once: its lineage (shingle
+    # explode + DF join + rank window) would otherwise re-execute for
+    # each self-join branch. NOTE: even with eager=False the checkpoint
+    # compiles the index subplan to an RDD, which under AQE runs its
+    # shuffle stages — so the index cost lands in CONSTRUCTION time
+    # (bench counts construction in the gated total), and the final
+    # query plan shows only a scan of the checkpointed RDD. Plan probes
+    # for the dfreq join strategy must therefore inspect
+    # ``jaccard_prefix_index`` directly, not this query's plan.
+    idx = idx.localCheckpoint(eager=False)
     a = idx.select(F.col("doc_id").alias("doc_a"), "g")
     b = idx.select(F.col("doc_id").alias("doc_b"), "g")
     # Explicit partition count: the candidate set is tiny in BYTES but

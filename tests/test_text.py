@@ -563,3 +563,51 @@ def test_scan_partitions_estimate_matches_spark_planner(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_jaccard_prefix_vocab_switch_changes_join_plan(spark):
+    """The corpus-scaled dfreq join switch (broadcast below the
+    vocabulary budget, shuffle join above) must be visible in the
+    PRE-checkpoint index plan — the full query localCheckpoints the
+    index, after which the join strategy is invisible in the query's
+    own plan (round-9 finding: an in-plan probe of the final query
+    read identical plans at 50k and 5M docs). Forcing the budget to 1
+    must swap the BroadcastHashJoin for a shuffle join AND leave the
+    result set unchanged (the switch is a physical-plan choice only)."""
+    from big_data_imdb_classifier_spark.plans.queries_text import (
+        jaccard_prefix_index,
+    )
+    from .conftest import SF_SMOKE
+
+    # At smoke scale Catalyst auto-broadcasts the tiny dfreq on its own
+    # size estimate, masking the switch; disable auto-broadcast so the
+    # only difference between the two plans is the explicit hint — the
+    # regime the switch exists for (a real vocabulary blows past the
+    # threshold, as the 5M-doc rehearsal census shows).
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        _sh, idx_bc = jaccard_prefix_index(spark, SF_SMOKE)
+        p_bc = idx_bc._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p_bc  # explicit hint survives -1
+
+        _sh, idx_sh = jaccard_prefix_index(spark, SF_SMOKE, vocab_budget=1)
+        p_sh = idx_sh._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p_sh
+        assert ("SortMergeJoin" in p_sh) or ("ShuffledHashJoin" in p_sh)
+
+        rows_bc = {tuple(r) for r in idx_bc.collect()}
+        rows_sh = {tuple(r) for r in idx_sh.collect()}
+        assert rows_bc == rows_sh and len(rows_bc) > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1036,13 +1036,21 @@ def main() -> None:
         )
 
         def _jaccard_join_shape(sf_dir: str) -> dict:
-            """Join-node census of the jaccard plan — the in-plan
-            evidence that the corpus-scaled dfreq join switch fired:
-            below the vocabulary bound the doc-frequency join is a
-            BroadcastHashJoin; above it, a shuffle join on the shingle
-            key (plans/queries_text.py)."""
-            df = plans.QUERIES["dedup_ngram_jaccard_prefix"](spark, sf_dir)
-            p = df._jdf.queryExecution().executedPlan().toString()
+            """Join-node census of the jaccard PREFIX INDEX plan — the
+            in-plan evidence that the corpus-scaled dfreq join switch
+            fired: below the vocabulary bound the doc-frequency join is
+            a BroadcastHashJoin; above it, a shuffle join on the
+            shingle key. Probed on the pre-checkpoint index
+            (queries_text.jaccard_prefix_index): the full query
+            localCheckpoints it, after which the join is invisible in
+            the query's own plan (it shows only the checkpointed RDD
+            scan)."""
+            from big_data_imdb_classifier_spark.plans.queries_text import (
+                jaccard_prefix_index,
+            )
+
+            _sh, idx = jaccard_prefix_index(spark, sf_dir)
+            p = idx._jdf.queryExecution().executedPlan().toString()
             return {
                 k: p.count(k)
                 for k in (
