@@ -175,7 +175,7 @@ def ivf_candidate_pairs(
     per-query candidate pool is ~n_probe/n_clusters of the corpus
     instead of all of it."""
     n_clusters, n_probe, _ = ivf_params(n_corpus)
-    sample = strided_sample_vectors(vectors, id_col, vec_col)
+    sample = strided_sample_vectors(vectors, id_col, vec_col, n_rows=n_corpus)
     centers = lloyd_centers_deterministic(sample, n_clusters)
     corpus_cells = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -369,12 +369,22 @@ def strided_sample_vectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     limit: int = 10_000,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Bounded deterministic training sample: every ⌈N/limit⌉-th id,
     spanning the whole id range (a head-of-table sample is biased once
     ids correlate with content — see knn_ivf_pq). Returns float64
-    (S, dim)."""
-    n_vecs = vectors.count()
+    (S, dim).
+
+    ``n_rows``: the corpus row count when the CALLER already knows it
+    (parquet-footer metadata via corpus_row_count, or a threaded
+    n_corpus) — skips the ``count()`` cluster job this function
+    otherwise pays just to size the stride (round 9: every index build
+    ran one redundant full-table count at query CONSTRUCTION; at 100 TB
+    that is a full scan job per index for a number the driver can read
+    from file metadata). Must equal the true count — the stride, and
+    therefore the sample and everything trained from it, depends on it."""
+    n_vecs = n_rows if n_rows else vectors.count()
     stride = max(1, -(-n_vecs // limit))
     rows = (
         vectors.where(F.pmod(F.col(id_col), F.lit(stride)) == 0)
@@ -462,6 +472,7 @@ def knn_ivf(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next
     to hyperplane LSH: a DETERMINISTIC Lloyd coarse quantizer
@@ -476,9 +487,11 @@ def knn_ivf(
     re-usable (in production: computed once, stored as a column,
     partition-pruned at read time). Because the quantizer is replayable
     in SQL, the WHOLE search hash-matches its DuckDB oracle — ``seed``
-    is kept for signature compatibility and ignored.
+    is kept for signature compatibility and ignored. ``n_rows``: see
+    strided_sample_vectors — skips the stride-sizing count job when the
+    caller already knows the corpus size.
     """
-    sample = strided_sample_vectors(vectors, id_col, vec_col)
+    sample = strided_sample_vectors(vectors, id_col, vec_col, n_rows=n_rows)
     centers = lloyd_centers_deterministic(sample, n_clusters)
 
     corpus_cells = vectors.select(
@@ -523,6 +536,7 @@ def semantic_dedup_cell_pairs(
     n_soft: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style CLUSTER-LOCAL semantic near-duplicate pairs
     (Abbas et al. 2023, arXiv:2303.09540): partition the corpus with
@@ -539,8 +553,9 @@ def semantic_dedup_cell_pairs(
     coverage vs the exact baseline is pinned by
     tests/test_similarity.py. Same Arrow probe + rounded-distance
     machinery as knn_ivf, so the WHOLE pipeline (training included)
-    replays in SQL and hash-matches its oracle."""
-    sample = strided_sample_vectors(vectors, id_col, vec_col)
+    replays in SQL and hash-matches its oracle. ``n_rows``: see
+    strided_sample_vectors."""
+    sample = strided_sample_vectors(vectors, id_col, vec_col, n_rows=n_rows)
     centers = lloyd_centers_deterministic(sample, n_clusters)
     cells = vectors.select(
         F.col(id_col),
@@ -745,6 +760,7 @@ def knn_ivf_pq(
     refine: int = 8,
     sample_limit: int = 10_000,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k: IVF coarse cells bound WHICH
     vectors are candidates; PQ codes bound what a candidate COSTS.
@@ -767,7 +783,9 @@ def knn_ivf_pq(
     # encode the unsampled half of the corpus as near-noise and ADC
     # floods the shortlist with it (recall@10 0.38 head vs ≥0.5
     # strided). The same sample trains the PQ codebooks. ---
-    sample = strided_sample_vectors(vectors, id_col, vec_col, sample_limit)
+    sample = strided_sample_vectors(
+        vectors, id_col, vec_col, sample_limit, n_rows=n_rows
+    )
     centers = lloyd_centers_deterministic(sample, n_clusters)
     books = pq_train_codebooks(sample, m=m, n_codes=n_codes, seed=seed)
 

@@ -281,12 +281,16 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected_components_min_label, quality_score_col, sample_by_hash's
     predicate), so the funnel hash-matching its recursive-CTE oracle also
     re-verifies the operators compose."""
-    from .queries_text import _SW
+    from .queries_text import _SW, _scan_partitions_estimate
 
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # Scan width from file metadata, not df.rdd.getNumPartitions() —
+    # the RDD round-trip compiled the whole plan on the driver at every
+    # construction (round 9; same fix as queries_text._docs).
+    est = _scan_partitions_estimate(spark, sf_dir, "documents")
+    if est < spark.sparkContext.defaultParallelism:
         docs = TX.repartition_for_cpu(docs, "doc_id")
 
     base = docs.select(
@@ -561,8 +565,13 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the identical derivation in SQL."""
     from pyspark.sql.window import Window
 
+    from .queries_text import _scan_partitions_estimate
+
     docs = load_table(spark, sf_dir, "documents")
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # Metadata scan-width estimate, not an RDD plan-compile (round 9;
+    # same fix as queries_text._docs).
+    est = _scan_partitions_estimate(spark, sf_dir, "documents")
+    if est < spark.sparkContext.defaultParallelism:
         docs = TX.repartition_for_cpu(docs, "doc_id")
     toks = docs.select("doc_id", "source", TX.tokens_col("text").alias("t"))
     # GUARD <2-token docs: sequence(1, 0) yields a DESCENDING [1, 0] and

@@ -248,7 +248,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n >= SIM.ANN_SWITCH_MIN_CORPUS:
         n_clusters, _, _ = SIM.ivf_params(n)
         pairs = SIM.semantic_dedup_cell_pairs(
-            emb, threshold=_COS_DUP_THRESHOLD, n_clusters=n_clusters
+            emb, threshold=_COS_DUP_THRESHOLD, n_clusters=n_clusters,
+            n_rows=n,
         )
     else:
         pairs = SIM.cosine_pairs_blocked(emb, threshold=_COS_DUP_THRESHOLD)
@@ -287,28 +288,57 @@ def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(cols)
         .localCheckpoint(eager=True)
     )
-    n_exact = exact.count()
-
-    def recall(ann: DataFrame) -> float:
-        hit = exact.join(ann.select(cols), cols, "left_semi").count()
-        return hit / n_exact
-
-    n_clusters, n_probe, refine = SIM.ivf_params(emb.count())
-    lsh = recall(SIM.knn_ann_hyperplane(emb, queries, k=TOP_K))
-    ivf = recall(
-        SIM.knn_ivf(
-            emb, queries, k=TOP_K, n_clusters=n_clusters, n_probe=n_probe
-        )
-    )
-    ivfpq = recall(
-        SIM.knn_ivf_pq(
+    # Corpus size from parquet footers, not a count() job (round 9):
+    # ivf_params and the training-sample stride depend only on this
+    # number, and footer metadata equals count() exactly for the
+    # unfiltered table; the `or` keeps the count() fallback for corpora
+    # whose footers can't be probed. n_rows threads the same number into
+    # both index builds so their strided samplers skip THEIR stride
+    # count jobs too.
+    n_corpus = SIM.corpus_row_count(sf_dir) or emb.count()
+    n_clusters, n_probe, refine = SIM.ivf_params(n_corpus)
+    anns = {
+        "lsh": SIM.knn_ann_hyperplane(emb, queries, k=TOP_K),
+        "ivf": SIM.knn_ivf(
+            emb, queries, k=TOP_K, n_clusters=n_clusters, n_probe=n_probe,
+            n_rows=n_corpus,
+        ),
+        "ivfpq": SIM.knn_ivf_pq(
             emb,
             queries,
             k=TOP_K,
             n_clusters=n_clusters,
             n_probe=n_probe,
             refine=refine,
+            n_rows=n_corpus,
+        ),
+    }
+    # ONE action for all four recall counts (round 9; formerly
+    # n_exact.count() + one count() per index = four sequential jobs
+    # with a driver barrier between the three ANN searches). Each
+    # branch left_semi-joins the CHECKPOINTED exact set against one
+    # index's results and is reduced to a per-tag count inside a single
+    # tagged-union aggregate, so the three searches' stages schedule
+    # concurrently and backfill each other's tails (guide §2.6); the
+    # denominator rides along as a fourth branch over the checkpointed
+    # frame. Hit counts — and therefore the gated booleans — are
+    # identical to the sequential shape by construction.
+    branches = [exact.select(F.lit("exact").alias("_idx"))] + [
+        exact.join(ann.select(cols), cols, "left_semi").select(
+            F.lit(tag).alias("_idx")
         )
+        for tag, ann in anns.items()
+    ]
+    from functools import reduce
+
+    union = reduce(DataFrame.unionByName, branches)
+    hits = {
+        r["_idx"]: r["n"]
+        for r in union.groupBy("_idx").agg(F.count("*").alias("n")).collect()
+    }
+    n_exact = hits.get("exact", 0)
+    lsh, ivf, ivfpq = (
+        hits.get(t, 0) / n_exact for t in ("lsh", "ivf", "ivfpq")
     )
     return spark.createDataFrame(
         [(N_QUERY_VECS, lsh >= 0.85, ivf >= 0.5, ivfpq >= 0.5)],
@@ -557,9 +587,15 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer, so this ANN query is no longer rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    n_clusters, n_probe, _ = SIM.ivf_params(emb.count())
+    # Index sizing + sample stride from parquet-footer metadata, not a
+    # count() job (round 9) — identical number, zero cluster actions at
+    # construction; count() stays as the fallback for unprobeable
+    # corpora.
+    n = SIM.corpus_row_count(sf_dir) or emb.count()
+    n_clusters, n_probe, _ = SIM.ivf_params(n)
     out = SIM.knn_ivf(
-        emb, queries, k=TOP_K, n_clusters=n_clusters, n_probe=n_probe
+        emb, queries, k=TOP_K, n_clusters=n_clusters, n_probe=n_probe,
+        n_rows=n,
     )
     return out.select(
         "query_id",
@@ -584,7 +620,9 @@ def knn_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registry has ZERO rows-only queries left."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    n_clusters, n_probe, refine = SIM.ivf_params(emb.count())
+    # Footer metadata instead of a count() job — see knn_ann_ivf.
+    n = SIM.corpus_row_count(sf_dir) or emb.count()
+    n_clusters, n_probe, refine = SIM.ivf_params(n)
     out = SIM.knn_ivf_pq(
         emb,
         queries,
@@ -592,6 +630,7 @@ def knn_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=n_clusters,
         n_probe=n_probe,
         refine=refine,
+        n_rows=n,
     )
     return out.select(
         "query_id",
@@ -656,13 +695,15 @@ def dedup_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline replays in SQL and hash-matches its oracle (same Lloyd
     prefix as the IVF searches)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # Footer metadata instead of a count() job — see knn_ann_ivf.
+    n = SIM.corpus_row_count(sf_dir) or emb.count()
     k_cells, _, _ = SIM.ivf_params(n)
     pairs = SIM.semantic_dedup_cell_pairs(
         emb,
         threshold=_COS_DUP_THRESHOLD,
         n_clusters=k_cells,
         n_soft=_SEMDEDUP_SOFT,
+        n_rows=n,
     )
     return pairs.select(
         "vec_a", "vec_b", F.round("sim", ROUND_DIGITS).alias("sim")

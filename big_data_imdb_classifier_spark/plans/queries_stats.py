@@ -1067,11 +1067,17 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle carves the identical lanes, so the weights stay
     bit-equal."""
     from ..operators.text import repartition_for_cpu
+    from .queries_text import _scan_partitions_estimate
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    if o.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    # Scan width from orders-file metadata, not df.rdd (round 9): the
+    # RDD round-trip compiled the plan on the driver per construction;
+    # the estimate mirrors FilePartition arithmetic exactly (same fix
+    # as queries_text._docs, generalized to any table).
+    est = _scan_partitions_estimate(spark, sf_dir, "orders")
+    if est < spark.sparkContext.defaultParallelism:
         o = repartition_for_cpu(o, "o_orderkey")
     n_hashes = (_BOOT_B + 3) // 4
 

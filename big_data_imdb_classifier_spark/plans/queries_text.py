@@ -68,7 +68,9 @@ def _jvm_bytes(spark: SparkSession, key: str, default: str) -> int:
     }[m.group(2)]
 
 
-def _scan_partitions_estimate(spark: SparkSession, sf_dir: str) -> int:
+def _scan_partitions_estimate(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> int:
     """Partition count the parquet scan will plan, from driver-side file
     metadata only — Spark's own FilePartition arithmetic
     (``FilePartition.maxSplitBytes`` + greedy bin-packing), not the
@@ -91,7 +93,7 @@ def _scan_partitions_estimate(spark: SparkSession, sf_dir: str) -> int:
     import glob as _glob
     import os as _os
 
-    path = _os.path.join(sf_dir, "documents.parquet")
+    path = _os.path.join(sf_dir, f"{table}.parquet")
     files = (
         [path]
         if _os.path.isfile(path)
@@ -896,7 +898,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
-    n_docs = docs.count()
+    # N from parquet-footer metadata, not a count() job (round 9): the
+    # smoothed-IDF numerator needs the exact unfiltered corpus count,
+    # which footers carry; count() remains the fallback for corpora
+    # whose footers can't be probed (corpus_row_count returns 0 there).
+    from ..operators.similarity import corpus_row_count
+
+    n_docs = corpus_row_count(sf_dir, "documents") or docs.count()
     idf = F.log((F.lit(n_docs + 1.0)) / (F.col("df") + 1.0)) + 1.0
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id", "term", (F.col("tf") * idf).alias("tfidf")
@@ -985,9 +993,14 @@ def jaccard_prefix_index(
     # (≲10M entries — measured 2× faster locally than the shuffle
     # join), shuffle-join on `g` beyond (reusing dfreq's own
     # aggregation exchange). The doc count is a parquet-footer
-    # metadata read; the same corpus-scaled-parameter philosophy as
-    # SIM.ivf_params.
-    vocab_fits = docs.count() * 52 <= vocab_budget
+    # metadata read (round 9 — it was a count() JOB until this round,
+    # despite this comment's claim; corpus_row_count makes the claim
+    # true, with count() kept as the unprobeable-footer fallback); the
+    # same corpus-scaled-parameter philosophy as SIM.ivf_params.
+    from ..operators.similarity import corpus_row_count
+
+    n_docs = corpus_row_count(sf_dir, "documents") or docs.count()
+    vocab_fits = n_docs * 52 <= vocab_budget
     idx = (
         inv.join(F.broadcast(dfreq) if vocab_fits else dfreq, "g")
         .withColumn("_rk", F.row_number().over(w))
