@@ -184,6 +184,19 @@ def group_quantiles(
             "group_quantiles: return_domain requires enum_keys=True "
             "(the domain is only materialized on the bounded-key path)"
         )
+    if enum_keys and not keys:
+        # MEASURED WRONG at scale (round 9): with the dummy constant key
+        # the optimizer constant-folds the aggregate's grouping down to
+        # the value column and the AQE exchange-elision premise the
+        # _pid-order fold rests on no longer holds at sf0.1-sized
+        # domains — ranks scramble SILENTLY (histogram edges came back
+        # wrong while sf0.01 passed). Global quantiles take the general
+        # path; pre-aggregate + weight_col if the scan matters.
+        raise ValueError(
+            "group_quantiles: enum_keys requires at least one real key "
+            "column (the dummy-key variant scrambles ranks at scale; "
+            "use the general path for global quantiles)"
+        )
     if enum_keys:
         return _group_quantiles_enum(
             df, keys, val_col, pcts, weight_col, assume_distinct,

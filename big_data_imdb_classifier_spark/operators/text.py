@@ -427,7 +427,15 @@ def simhash_near_dup_pairs(
     ).repartition("band", "slice")
 
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # Hamming filter BEFORE the pair dedup (round 9): the distance is a
+    # per-pair function (bit_count of xor, map-side, no shuffle), so
+    # cutting at ≤ max_hamming first is result-identical while the
+    # distinct now shuffles only TRUE near-dups as narrow
+    # (doc_a, doc_b, hamming) rows instead of every band collision
+    # dragging both 64-bit signatures (guide §2.2: filter early,
+    # shuffle fewer bytes — band collisions are the volume knob here,
+    # near-dups the rare survivors).
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -437,15 +445,12 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("_ha"),
-            F.col("b.simhash").alias("_hb"),
+            hamming64_col(F.col("a.simhash"), F.col("b.simhash")).alias(
+                "hamming"
+            ),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", hamming64_col(F.col("_ha"), F.col("_hb")))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -475,10 +480,17 @@ def connected_components_min_label(
     # near_dup_clusters), and at 100 TB the re-derive
     # would dominate the loop outright. The edge list is pair-sized
     # (near-dup pairs, not corpus-sized), so checkpointing it is cheap.
+    #
+    # No distinct() on the union (round 9): every producer emits distinct
+    # pairs with a_col < b_col (the LSH/simhash candidate joins end in
+    # distinct() with an id< predicate), so the two directed orientations
+    # cannot collide and the dedup was a pure extra shuffle over the edge
+    # list. Even for a hypothetical duplicate-emitting caller, min-label
+    # propagation is multiset-insensitive — duplicate edges change no
+    # label, only edge-list bytes.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     labels = edges.select("src").distinct().select(
@@ -490,6 +502,11 @@ def connected_components_min_label(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # Carry the previous label through the checkpoint so convergence
+        # is a filter over the frame we just materialized — the former
+        # new-vs-old join re-shuffled both label frames once per round
+        # for a boolean (round 9: one join job per iteration removed;
+        # the changed flag compares the same per-node values either way).
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -497,17 +514,16 @@ def connected_components_min_label(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("_prev"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
+            new_labels.where(F.col("component") != F.col("_prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
     return labels

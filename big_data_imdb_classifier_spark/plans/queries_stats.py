@@ -440,32 +440,46 @@ def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     final count groups on ≤10 keys. Every stage is partial-aggregated or
     broadcast; at 100 TB the cost is one value-shuffle of the distinct
     domain, not an all-values sort on one task."""
+    from ..operators.stats import group_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice")
-    edges = _distributed_quantile_edges(
-        li.select(x.alias("v")), [i / _ED_BINS for i in range(1, _ED_BINS)]
-    )
-    bin_idx = F.size(F.filter(F.col("e"), lambda e: x > e))
+    # ONE corpus-sized pass (round 9): every output column is a function
+    # of the VALUE alone (bin index, min, max) or a row count, so the
+    # whole query runs off the distinct (value, count) domain. The
+    # domain aggregate is built ONCE here and feeds both branches — the
+    # edge pass consumes it pre-aggregated (weight_col +
+    # assume_distinct: rank intervals over cumulative weights equal the
+    # expanded multiset exactly, so the interpolated edges are
+    # bit-identical to the former row-level pass), and the binning
+    # re-aggregates the SAME frame with weighted counts instead of
+    # rescanning + crossJoin-broadcasting over the fact table a second
+    # time (guide §2.2/§6). Both branches share the identical
+    # scan→partial-agg→Exchange(_v) subtree, which AQE's runtime stage
+    # reuse executes once. NULL prices keep their weight in the domain
+    # and land in bin 0 with min/max ignoring them — the identical
+    # semantics the row-level shape had.
+    vc = li.groupBy(x.alias("_v")).agg(F.count("*").alias("_c"))
+    edges = group_quantiles(
+        vc,
+        [],
+        "_v",
+        [i / _ED_BINS for i in range(1, _ED_BINS)],
+        weight_col="_c",
+        assume_distinct=True,
+    ).select(F.col("q").alias("e"))
+    v = F.col("_v")
+    bin_idx = F.size(F.filter(F.col("e"), lambda e: v > e))
     return (
-        li.crossJoin(F.broadcast(edges))
+        vc.crossJoin(F.broadcast(edges))
         .groupBy(bin_idx.alias("bin"))
         .agg(
-            F.count("*").alias("n_rows"),
-            F.round(F.min(x), _R).alias("lo"),
-            F.round(F.max(x), _R).alias("hi"),
+            F.sum("_c").alias("n_rows"),
+            F.round(F.min(v), _R).alias("lo"),
+            F.round(F.max(v), _R).alias("hi"),
         )
         .orderBy("bin")
     )
-
-
-def _distributed_quantile_edges(vals: DataFrame, pcts: list) -> DataFrame:
-    """Exact interpolated global quantiles of column ``v`` WITHOUT
-    buffering the data on any reducer — thin wrapper over
-    ``operators.stats.group_quantiles`` (keys=[]); returns a 1-row frame
-    with array column ``e`` in ``pcts`` order."""
-    from ..operators.stats import group_quantiles
-
-    return group_quantiles(vals, [], "v", pcts).select(F.col("q").alias("e"))
 
 
 _MAD_K = 1.4826  # consistency constant: MAD ≈ σ for normal data
@@ -655,8 +669,20 @@ def winsorize_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_extendedprice"
     )
     x = F.col("l_extendedprice")
+    # Bounded-key fast path (round 9): l_returnflag is the same 3-value
+    # enum stats_mad_outliers rides — the cut pass drops from the
+    # general path's broadcast-join lineages to one range-exchange job
+    # with driver-side interpolation (bit-identical doubles, see
+    # group_quantiles), and the cuts come back as a LocalRelation.
+    # The clip+aggregate deliberately stays ROW-LEVEL: folding it into
+    # the weighted (value, count) domain would turn the oracle's
+    # row-order avg() into a sum(v·c) accumulation — a different FP
+    # summation order for mean_winsorized, i.e. a hash-equality risk
+    # for zero structural gain (the clip pass is already one
+    # partial+final aggregate over two pruned columns).
     cuts = group_quantiles(
-        li, ["l_returnflag"], "l_extendedprice", [_WINS_LO, _WINS_HI]
+        li, ["l_returnflag"], "l_extendedprice", [_WINS_LO, _WINS_HI],
+        enum_keys=True,
     ).select(
         "l_returnflag",
         F.col("q")[0].alias("lo"),

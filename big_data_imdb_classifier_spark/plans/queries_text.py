@@ -2228,7 +2228,13 @@ def text_length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFram
     bit-identical cross-engine."""
     from ..operators.stats import distributed_cumsum, rank_value_lookup
 
-    docs = _docs(spark, sf_dir)
+    # Straight load, NOT _docs (round 9): this query reads only the
+    # (source, n_chars) columns — no shingling/tokenizing — so _docs's
+    # CPU-spreading repartition was a full-frame shuffle paid before an
+    # aggregation whose map-side combine collapses the rows anyway
+    # (guide §2.2: shuffle fewer bytes; the partial agg output is
+    # distinct-(source, length) sized, not corpus sized).
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     s = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
     sc, stot = distributed_cumsum(
         s, ["source"], "n_chars", ["c"], with_totals=True
@@ -2236,7 +2242,14 @@ def text_length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFram
     pr = (F.col("c_cum") - F.col("c")) / F.greatest(
         F.col("c_tot") - 1, F.lit(1)
     )
-    g = docs.groupBy("n_chars").agg(F.count("*").alias("gc"))
+    # Global length histogram DERIVED from the per-source one (round 9):
+    # sum of per-source counts per length ≡ global count per length, so
+    # the second full corpus scan+aggregate becomes a re-aggregation of
+    # the distinct-(source, length) frame — and because both branches
+    # now share the identical scan→partial-agg→Exchange(source, n_chars)
+    # subtree, the corpus is scanned ONCE (ReusedExchange; before: two
+    # FileScans with different ReadSchemas). Guide §2.1/§6.
+    g = s.groupBy("n_chars").agg(F.sum("c").alias("gc"))
     gcum, gtot = distributed_cumsum(g, [], "n_chars", ["gc"], with_totals=True)
     markers = gcum.select(
         (F.col("gc_cum") - F.col("gc")).alias("pos"),
