@@ -144,22 +144,49 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 def lang_id_col(text: Column | str) -> Column:
     """Argmax language with deterministic alphabetical tiebreak: the
     candidate whose (score, reversed-alpha) pair is greatest wins, i.e.
-    ties go to the alphabetically-first language code."""
-    scores = lang_scores(text)
-    best = None
-    for lang in sorted(scores, reverse=True):  # later (alpha-earlier) wins ties
-        s = scores[lang]
-        if best is None:
-            best = (s, F.lit(lang))
-        else:
-            best_s, best_l = best
-            take = s >= best_s
-            best = (
-                F.when(take, s).otherwise(best_s),
-                F.when(take, F.lit(lang)).otherwise(best_l),
-            )
-    assert best is not None
-    return best[1]
+    ties go to the alphabetically-first language code.
+
+    The scores are BOUND once through a ``transform`` lambda (round 9):
+    the plain when-chain fold references each score expression through
+    every nested branch, and interpreted HOF projection has no
+    common-subexpression elimination, so the un-bound form re-ran the
+    tokenize + array_distinct + array_intersect chain up to ~9× per
+    row. Bound, each score computes exactly once; the argmax fold runs
+    over struct-field reads. Identical values (same score expressions,
+    same fold)."""
+    langs = sorted(LANG_MARKERS)
+    distinct_toks = F.array_distinct(tokens_col(text))
+    scored = F.transform(
+        F.array(distinct_toks),
+        lambda t: F.struct(
+            *[
+                F.size(
+                    F.array_intersect(
+                        t, F.array(*[F.lit(x) for x in LANG_MARKERS[lang]])
+                    )
+                ).alias(f"s_{lang}")
+                for lang in langs
+            ]
+        ),
+    )
+
+    def pick(m: Column) -> Column:
+        best = None
+        for lang in sorted(langs, reverse=True):  # alpha-earlier wins ties
+            s = m[f"s_{lang}"]
+            if best is None:
+                best = (s, F.lit(lang))
+            else:
+                best_s, best_l = best
+                take = s >= best_s
+                best = (
+                    F.when(take, s).otherwise(best_s),
+                    F.when(take, F.lit(lang)).otherwise(best_l),
+                )
+        assert best is not None
+        return best[1]
+
+    return F.transform(scored, pick)[0]
 
 
 def word_shingles_col(text: Column | str, k: int) -> Column:
@@ -349,24 +376,93 @@ def simhash(
         .where(F.col("_tok").isNotNull())
         .withColumn("_h", hasher(F.col("_tok")))
     )
+    # The per-bit aggregates and the signature fold are built as SQL
+    # strings parsed by ONE F.expr call each (round 9): the Column-API
+    # form issued ~8.6k py4j round-trips (~2 s of driver socket I/O per
+    # CONSTRUCTION — the dominant cost of both simhash queries' build
+    # phase, measured by cProfile). The parsed trees are the same
+    # operators (CASE/shiftright/& and a left-associated sum), so the
+    # analyzed plan and every signature bit are unchanged.
     aggs = [
-        F.sum(
-            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
-        ).alias(f"_b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(_h, {b}) & 1) != 0 "
+            f"THEN 1 ELSE -1 END) AS _b{b}"
+        )
         for b in range(bits)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(
-            F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select(id_col, sig.alias(out_col))
+    sig = " + ".join(
+        f"(CASE WHEN _b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return sums.select(
+        id_col, F.expr(f"CAST(0 AS BIGINT) + {sig}").alias(out_col)
+    )
 
 
 def hamming64_col(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def text_features_inline(text_col: str, stopwords: list[str]):
+    """All six per-document text features as ONE generator expression —
+    pass to ``df.select(id, F.inline(text_features_inline(...)))``.
+
+    The per-column formulation (token_count_col + stopword_ratio_col +
+    mean_token_len_col + quality_score_col side by side) re-tokenizes
+    the document FIVE times per row: higher-order-function lambdas run
+    in interpreted projection, which has no common-subexpression
+    elimination (the ``let_col`` rationale), and ``CollapseProject``
+    re-inlines any intermediate alias back into every consumer. Routing
+    the shared subexpressions through nested ``transform`` bindings and
+    emitting the result via ``inline`` (a GENERATOR — generators are
+    not collapsed into the projection, so the expression tree evaluates
+    exactly once per row) computes: one tokenize, one stopword filter,
+    one length fold, one punct regexp, one BPE regexp — per row, total.
+
+    Field arithmetic is the identical expression tree the individual
+    helpers build (same division/least/greatest order), so values are
+    bit-equal; callers apply their own rounding."""
+    toks = tokens_col(text_col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    stage1 = F.transform(
+        F.array(toks),
+        lambda t: F.struct(
+            F.size(t).alias("n"),
+            F.size(F.filter(t, lambda x: F.array_contains(sw, x))).alias(
+                "nstop"
+            ),
+            F.aggregate(
+                t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+            ).alias("lensum"),
+            punct_ratio_col(text_col).alias("p"),
+            bpe_ish_token_count_col(text_col).alias("b"),
+        ),
+    )
+
+    def final(m: Column) -> Column:
+        n, nstop = m["n"], m["nstop"]
+        denom = F.greatest(n, F.lit(1))
+        stop_ratio = nstop / denom
+        length_score = F.least(n / F.lit(50.0), F.lit(1.0))
+        stop_score = F.least(stop_ratio * 5, F.lit(1.0))
+        punct_penalty = F.least(m["p"] * 5, F.lit(1.0))
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            m["b"].cast("long").alias("n_bpe_tokens"),
+            m["p"].alias("punct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            (m["lensum"] / denom).alias("mean_token_len"),
+            (
+                0.4 * length_score
+                + 0.4 * stop_score
+                + 0.2 * (1 - punct_penalty)
+            ).alias("quality"),
+        )
+
+    return F.transform(stage1, final)
 
 
 def with_text_features(

@@ -55,8 +55,17 @@ def stats_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     names = ["p25_price", "p50_price", "p75_price", "p95_price"]
+    # enum_keys: l_returnflag is a 3-value enum — the documented
+    # bounded-key fast path (same class as stats_mad_outliers /
+    # winsorize_extendedprice): one range-exchange job with the dedup
+    # riding the exchange, probe hits interpolated driver-side, and the
+    # statistics return as a LocalRelation — replacing the general
+    # path's broadcast-join lineages. Values are bit-identical (same
+    # IEEE-754 interpolation; re-proven against the oracle at all three
+    # SFs including sf0.1).
     q = group_quantiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.50, 0.75, 0.95]
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.50, 0.75, 0.95],
+        enum_keys=True,
     )
     return (
         q.select(
@@ -251,19 +260,34 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles (hash-matched) plus in-query booleans asserting each
     sketch estimate lands within 1% of its exact value — a sketch
     regression fails the driver gate, same pattern as
-    approx_distinct_parts. All four aggregates ride one shuffle."""
+    approx_distinct_parts. The sketch pair rides one shuffle (array-form
+    percentile_approx: ONE GK sketch per group serves both quantiles);
+    the exact reference values come from the distributed order-statistics
+    operator's bounded-enum path, not a builtin sort buffer."""
+    from ..operators.stats import group_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    # Array-form percentile/percentile_approx: ONE value buffer and ONE
-    # GK sketch per group serve both quantiles (two scalar calls would
-    # each build their own — measured ~25-50% slower at sf0.1).
+    # Exact side via the DISTRIBUTED order-statistics operator on the
+    # bounded-enum path, not the builtin F.percentile: the builtin
+    # buffers and sorts every group value in one ObjectHashAggregate
+    # buffer — exactly the 100 TB OOM shape this query exists to show
+    # the way around. group_quantiles returns the 3-row exact frame as
+    # a LocalRelation (bit-identical interpolation, re-proven against
+    # the oracle at all three SFs); it joins the sketch aggregate as a
+    # broadcast, so the only data-sized pass left is the mergeable GK
+    # sketch — the actual 100 TB path.
     ps = F.array(F.lit(0.5), F.lit(0.95))
-    ex = F.percentile("l_extendedprice", ps)
+    exact = group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95],
+        enum_keys=True,
+    ).select("l_returnflag", F.col("q").alias("_ex"))
     ap = F.percentile_approx("l_extendedprice", ps, F.lit(10000))
     p50, p95 = F.col("_ex")[0], F.col("_ex")[1]
     ap50, ap95 = F.col("_ap")[0], F.col("_ap")[1]
     return (
         li.groupBy("l_returnflag")
-        .agg(ex.alias("_ex"), ap.alias("_ap"))
+        .agg(ap.alias("_ap"))
+        .join(F.broadcast(exact), "l_returnflag")
         .select(
             "l_returnflag",
             F.round(p50, _R).alias("p50_exact"),
@@ -1107,15 +1131,17 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         o = repartition_for_cpu(o, "o_orderkey")
     n_hashes = (_BOOT_B + 3) // 4
 
-    def pois(u):
-        w = F.lit(5)
-        for i in range(len(_POIS_CDF) - 1, -1, -1):
-            w = F.when(u < _POIS_CDF[i], i).otherwise(w)
-        return w
-
     # Per row: ⌈B/4⌉ md5 digests concatenated into one flat hex string;
     # lane b (1-based) = hex window (b-1)%4 of digest (b-1)//4, i.e.
     # characters [32·((b-1)//4) + 8·((b-1)%4) + 1, +8).
+    #
+    # The 50 uniform lanes and the 50 Poisson CASE folds are built as
+    # SQL strings parsed by one F.expr each (round 9): the Column-API
+    # form issued ~10.8k py4j round-trips (~2 s of construction-time
+    # driver socket I/O, cProfile-measured — the `pois` when-chain
+    # alone was 1.9 s). The parsed trees are the same operators (the
+    # CASE fold is _pois_case_sql, shared VERBATIM with the oracle),
+    # so weights stay bit-equal and the plan is unchanged.
     hexes = F.concat(
         *[
             F.md5(
@@ -1127,19 +1153,20 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     u_cols = [
-        (
-            F.conv(
-                F.substring(
-                    "_h", 32 * ((b - 1) // 4) + 8 * ((b - 1) % 4) + 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            / F.lit(4294967296.0)
-        ).alias(f"_u{b}")
+        F.expr(
+            f"(CAST(conv(substring(_h, "
+            f"{32 * ((b - 1) // 4) + 8 * ((b - 1) % 4) + 1}, 8), 16, 10) "
+            f"AS BIGINT) / 4294967296.0D) AS _u{b}"
+        )
         for b in range(1, _BOOT_B + 1)
     ]
-    ws = F.array(*[pois(F.col(f"_u{b}")) for b in range(1, _BOOT_B + 1)])
+    ws = F.expr(
+        "array("
+        + ", ".join(
+            _pois_case_sql(f"_u{b}") for b in range(1, _BOOT_B + 1)
+        )
+        + ")"
+    )
     draws = (
         o.select(F.col("o_totalprice").alias("v"), hexes.alias("_h"))
         .select("v", *u_cols)

@@ -240,18 +240,22 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics — token counts (whitespace + BPE-ish),
     punctuation/stopword ratios, mean token length, heuristic quality
     score. All JVM higher-order functions on one scan; zero Python UDFs.
-    """
+
+    The six features come out of ONE bound-struct generator expression
+    (``TX.text_features_inline`` — round 9): the per-column form
+    re-tokenized the document five times per row because interpreted
+    HOF projections have no common-subexpression elimination. Values
+    are bit-identical (same expression trees, bound once)."""
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    raw = docs.select("doc_id", F.inline(TX.text_features_inline("text", _SW)))
+    return raw.select(
         "doc_id",
-        TX.token_count_col("text").cast("long").alias("n_tokens"),
-        TX.bpe_ish_token_count_col("text").cast("long").alias("n_bpe_tokens"),
-        F.round(TX.punct_ratio_col("text"), ROUND_DIGITS).alias("punct_ratio"),
-        F.round(TX.stopword_ratio_col("text", _SW), ROUND_DIGITS).alias(
-            "stopword_ratio"
-        ),
-        F.round(TX.mean_token_len_col("text"), ROUND_DIGITS).alias("mean_token_len"),
-        F.round(TX.quality_score_col("text", _SW), ROUND_DIGITS).alias("quality"),
+        "n_tokens",
+        "n_bpe_tokens",
+        F.round("punct_ratio", ROUND_DIGITS).alias("punct_ratio"),
+        F.round("stopword_ratio", ROUND_DIGITS).alias("stopword_ratio"),
+        F.round("mean_token_len", ROUND_DIGITS).alias("mean_token_len"),
+        F.round("quality", ROUND_DIGITS).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -895,8 +899,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(
         F.count("*").cast("double").alias("tf")
     )
-    df = tok.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
+    # df DERIVED from tf: tf already holds one row per (doc, term), so
+    # counting tf rows per term IS count(DISTINCT doc_id) over the raw
+    # token stream. The former countDistinct branch re-shuffled the FULL
+    # exploded token stream a second time (two-phase distinct: exchange
+    # on (term, doc_id), then on term); deriving from tf re-uses tf's
+    # scan→partial-agg→Exchange subtree (runtime stage reuse) and only
+    # the (doc, term)-sized frame reaches the term exchange (guide §2.3
+    # "aggregate before you shuffle", §2.4 shared exchange).
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
     )
     # N from parquet-footer metadata, not a count() job (round 9): the
     # smoothed-IDF numerator needs the exact unfiltered corpus count,
@@ -2113,53 +2125,72 @@ def heavy_hitters_mg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pass 1 (mapInPandas, Arrow-batched): each PARTITION maintains a
     Misra-Gries summary of 2/θ counters and emits only its surviving
     candidate tokens — O(1/θ) rows per partition, independent of vocab
-    size. Pigeonhole gives the NO-FALSE-NEGATIVE guarantee: a token
-    with global freq > θN ≥ Σₚ nₚ/cap must beat the decrement budget in
-    at least one partition, so the union of summaries contains every
-    true heavy hitter. Pass 2: the candidate set (tiny) broadcasts back
-    as a semi-join onto the token stream and only candidate rows are
-    counted exactly — false positives die on the exact HAVING, which is
-    why the result is hash-identical to the brute-force oracle. The
-    full-vocab shuffle never happens; the two corpus scans move
-    O(candidates) rows."""
+    size. The summary is maintained VECTORIZED (guide §4.2): each Arrow
+    batch is counted exactly with ``value_counts`` (C speed), merged
+    into the running summary, and when the summary exceeds its budget
+    every counter is docked by the (cap+1)-th largest count and
+    non-positives evicted — the mergeable-summaries MG reduction
+    (Agarwal et al., PODS'12), whose per-element undercount keeps the
+    classic nₚ/(cap+1) bound (each dock of v removes ≥ (cap+1)·v of
+    counted mass, so Σ docks ≤ nₚ/(cap+1)). A token with global freq
+    > θN ≥ Σₚ nₚ/cap therefore still ends positive in at least one
+    partition: the candidate union keeps the NO-FALSE-NEGATIVE
+    guarantee while the per-row Python dict loop is gone. Pass 2: the
+    candidate set (tiny) broadcasts back onto the token stream; every
+    token folds into one aggregate keyed candidate-or-NULL, so the
+    exact candidate recounts AND the global N come out of the SAME
+    map-side-combined aggregate (formerly a third full tokenize+count
+    scan) — false positives die on the exact HAVING, which is why the
+    result is hash-identical to the brute-force oracle. The full-vocab
+    shuffle never happens; the reduce side moves O(candidates) rows."""
     docs = _docs(spark, sf_dir)
     toks = TX.explode_no_refilter(
         docs.select(TX.tokens_col("text").alias("toks")), "toks", "token"
     )
 
     def mg_partition(batches):
+        import numpy as np
         import pandas as pd
 
-        counters: dict[str, int] = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for tok in pdf["token"]:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < _MG_CAP:
-                    counters[tok] = 1
-                else:
-                    # decrement step: every counter pays one, zeros evict
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-        yield pd.DataFrame({"token": list(counters.keys())})
+            vc = pdf["token"].value_counts()
+            counters = (
+                vc if counters.empty else counters.add(vc, fill_value=0)
+            )
+            if len(counters) > _MG_CAP:
+                vals = counters.to_numpy()
+                # (cap+1)-th largest = ascending rank len-cap-1
+                kth = np.partition(vals, len(vals) - _MG_CAP - 1)[
+                    len(vals) - _MG_CAP - 1
+                ]
+                counters = counters[vals > kth] - kth
+        yield pd.DataFrame({"token": counters.index.astype(str)})
 
     candidates = (
         toks.mapInPandas(mg_partition, schema="token string")
         .distinct()
+        .withColumn("_c", F.lit(1))
     )
-    tot = toks.agg(F.count("*").alias("n"))
+    # One aggregate serves both tiers: candidate tokens keep their
+    # identity, every other token collapses into the NULL group map-side,
+    # and the global total is the sum over the aggregated (tiny) frame —
+    # the two branches share the scan→join→partial-agg→Exchange subtree
+    # (runtime stage reuse), so the corpus is tokenized twice total (MG
+    # pass + recount), not three times.
+    counted = (
+        toks.join(F.broadcast(candidates), "token", "left")
+        .groupBy(
+            F.when(F.col("_c").isNotNull(), F.col("token")).alias("_t")
+        )
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    tot = counted.agg(F.sum("n_occurrences").alias("n"))
     return (
-        toks.join(F.broadcast(candidates), "token", "semi")
-        .groupBy("token")
-        .agg(F.count("*").alias("n_occurrences"))
+        counted.where(F.col("_t").isNotNull())
         .crossJoin(F.broadcast(tot))
         .where(F.col("n_occurrences") > _MG_THETA * F.col("n"))
-        .select("token", "n_occurrences")
+        .select(F.col("_t").alias("token"), "n_occurrences")
         .orderBy(F.desc("n_occurrences"), "token")
     )
 
@@ -2673,7 +2704,12 @@ def text_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", TX.word_shingles_col("text", 3).alias("s")
     )
     inv = TX.explode_no_refilter(sh, "s", "g").select("doc_id", "source", "g")
-    df_t = inv.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    # word_shingles_col emits DISTINCT shingles per doc, so (doc_id, g) is
+    # unique in `inv` and count(*) IS count(DISTINCT doc_id) — the distinct
+    # aggregate would pay an extra full postings shuffle on (g, doc_id)
+    # before the per-gram reduce (guide §2.4: a distinct on already-unique
+    # data is a pure extra exchange).
+    df_t = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         inv.join(df_t, "g")
         .groupBy("doc_id", "source")

@@ -611,3 +611,79 @@ def test_jaccard_prefix_vocab_switch_changes_join_plan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_hitters_mg_vectorized_matches_exact(spark, tmp_path):
+    """The vectorized Misra-Gries candidate pass (per-batch value_counts +
+    mergeable-summaries dock, round 9) must keep the no-false-negative
+    superset guarantee: the query's output equals the brute-force exact
+    heavy-hitter set. The corpus is built so every scan partition holds
+    far more distinct tokens than the 2/θ counter budget, forcing the
+    dock/evict path to fire (a small-vocab corpus never docks and would
+    not exercise the rewrite)."""
+    import pyspark.sql.functions as F
+
+    from big_data_imdb_classifier_spark.plans import queries_text as QT
+
+    n_filler = 30_000  # ≫ _MG_CAP × test parallelism (2000 × 8)
+    heavy = ["hh_alpha", "hh_beta", "hh_gamma"]
+    rows = []
+    fillers = [f"tok{i}" for i in range(n_filler)]
+    per_doc = 100
+    for d in range(n_filler // per_doc):
+        toks = fillers[d * per_doc : (d + 1) * per_doc]
+        # sprinkle heavy tokens through every 2nd doc: 50 docs × 30 = 1500
+        # occurrences each, far over θ·N ≈ 0.001 × 34.5k ≈ 35
+        if d % 2 == 0:
+            toks = toks + [heavy[d % 3]] * 30
+        text = " ".join(toks)
+        rows.append((d, text, "en", "src0", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.token, r.n_occurrences)
+        for r in QT.heavy_hitters_mg_tokens(spark, str(tmp_path)).collect()
+    }
+
+    toks = spark.read.parquet(str(tmp_path / "documents.parquet")).select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    n = toks.count()
+    exact = {
+        (r.token, r.n_occurrences)
+        for r in toks.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") > QT._MG_THETA * n)
+        .collect()
+    }
+    assert got == exact
+    assert {t for t, _ in got} == set(heavy)
+
+
+def test_text_features_inline_bit_equal_to_per_column(spark):
+    """The bound-struct generator form (round 9) must produce BIT-equal
+    values to the original per-column helper expressions — same trees,
+    evaluated once instead of five tokenizations per row."""
+    from big_data_imdb_classifier_spark.sources.readers import load_table
+    from .conftest import SF_SMOKE
+
+    sw = TX.LANG_MARKERS["en"]
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = docs.select(
+        "doc_id", F.inline(TX.text_features_inline("text", sw))
+    )
+    want = docs.select(
+        "doc_id",
+        TX.token_count_col("text").cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count_col("text").cast("long").alias("n_bpe_tokens"),
+        TX.punct_ratio_col("text").alias("punct_ratio"),
+        TX.stopword_ratio_col("text", sw).alias("stopword_ratio"),
+        TX.mean_token_len_col("text").alias("mean_token_len"),
+        TX.quality_score_col("text", sw).alias("quality"),
+    )
+    g = {r.doc_id: tuple(r)[1:] for r in got.collect()}
+    w = {r.doc_id: tuple(r)[1:] for r in want.collect()}
+    assert g == w  # exact equality, not approx — the trees must match
