@@ -270,6 +270,17 @@ def main() -> None:
     # every later query against the wrong probe reading).
     PROBE_EVERY = 25
     calibration_series: list[dict] = []
+    # PER-QUERY probe stamp (round 10, r9 VERDICT task 3): one GC'd
+    # min-of-2 probe reading taken immediately before each query's warm
+    # rep, keyed by query name in the detail record (`probe_at`). The
+    # boundary pair and the --all series can only normalize per
+    # boundary/window; on a host whose speed bounces at minute
+    # granularity (BENCHLOG r8/r9 epochs) a per-query stamp lets the
+    # A/B comparison self-normalize each query against the host speed
+    # it actually ran under. Additive field only — the probe runs
+    # OUTSIDE the timed region, the compact line is unchanged, and the
+    # gated per-query values keep the r7 protocol.
+    probe_at: dict[str, float] = {}
     for qi, n in enumerate(names):
         if "--all" in sys.argv and qi and qi % PROBE_EVERY == 0:
             jvm_gc()
@@ -282,6 +293,7 @@ def main() -> None:
             # see the same hot JIT/codegen/broadcast paths an isolated
             # median-of-3 sees (see module docstring).
             jvm_gc()
+            probe_at[n] = _calibrate(spark, reps=2, agg="min")
             run(n, SF_DIR)
             samples = [run(n, SF_DIR) for _ in range(reps)]
             execs = sorted(s[1] for s in samples)
@@ -304,11 +316,13 @@ def main() -> None:
     # ascending-cost order, long after whatever sweep position it
     # originally ran in.
     isolated: dict[str, float] = {}
+    isolated_probe_at: dict[str, float] = {}
     if "--all" in sys.argv and timings:
         tail = sorted(timings, key=lambda n: -timings[n])[:ISOLATE_SLOWEST]
         for n in sorted(tail, key=lambda n: timings[n]):
             try:
                 jvm_gc()
+                isolated_probe_at[n] = _calibrate(spark, reps=2, agg="min")
                 run(n, SF_DIR)
                 totals = sorted(
                     sum(run(n, SF_DIR)) for _ in range(reps)
@@ -348,8 +362,15 @@ def main() -> None:
         "execution_total": round(sum(execution.values()), 3),
         "construction": construction,
         "construction_total": round(sum(construction.values()), 3),
+        # Host-speed stamp adjacent to each query's timed reps (GC'd
+        # min-of-2 fixed-work probe; see sweep loop). Detail record
+        # only — the compact line's tail-window budget is unchanged.
+        "probe_at": {k: v for k, v in probe_at.items() if k in timings},
         **({"isolated": isolated,
-            "isolated_total": round(sum(isolated.values()), 3)}
+            "isolated_total": round(sum(isolated.values()), 3),
+            "isolated_probe_at": {
+                k: v for k, v in isolated_probe_at.items() if k in isolated
+            }}
            if isolated else {}),
         **meta,
     }

@@ -1086,18 +1086,27 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast only that reduced set. Broadcast size is O(|candidate
     # docs|), not O(|corpus|), so the verify stage survives a 100× corpus.
     cand_ids = cand.localCheckpoint(eager=False)
-    ids_a = cand_ids.select(F.col("doc_a").alias("doc_id")).distinct()
-    ids_b = cand_ids.select(F.col("doc_b").alias("doc_id")).distinct()
+    ids = (
+        cand_ids.select(F.col("doc_a").alias("doc_id"))
+        .union(cand_ids.select("doc_b"))
+        .distinct()
+    )
     # broadcast the tiny id list into the semi-join so the corpus-sized
-    # shingle table is filtered in place, never shuffled
-    sa = (
-        sh.join(F.broadcast(ids_a), "doc_id", "left_semi")
-        .select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa"))
+    # shingle table is filtered in place, never shuffled — and
+    # checkpoint the FILTERED set (small by design: only docs appearing
+    # in some candidate pair) so the corpus shingle scan runs ONCE for
+    # verification instead of once per side. Before round 10 the sa/sb
+    # broadcast builds each recompiled the un-checkpointed `sh` lineage
+    # — scan + tokenize + shingle over the whole corpus, twice more on
+    # top of the index construction's own pass (r9 VERDICT task 1).
+    # Checkpointing `sh` itself would also work but materializes a
+    # corpus-sized intermediate; the candidate-filtered set is the
+    # O(|candidate docs|) piece the broadcasts need.
+    sv = sh.join(F.broadcast(ids), "doc_id", "left_semi").localCheckpoint(
+        eager=False
     )
-    sb = (
-        sh.join(F.broadcast(ids_b), "doc_id", "left_semi")
-        .select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb"))
-    )
+    sa = sv.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa"))
+    sb = sv.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb"))
     cand = cand_ids
     jac = (
         cand.join(F.broadcast(sa), "doc_a")
@@ -1221,22 +1230,51 @@ def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order) to 256-token training bins by EXCLUSIVE prefix sum —
     a doc straddling a boundary belongs to the bin its first token lands
     in. Deterministic (no RNG, no first-fit state), so it's both
-    oracle-checkable and reproducible across cluster runs. One window
-    shuffle on source; at 100 TB with few giant sources you'd sub-shard
-    the partition key (source, shard) first — same plan shape."""
+    oracle-checkable and reproducible across cluster runs.
+
+    CORPUS-SCALED prefix-sum strategy (round 10): a window partitioned
+    by bare ``source`` caps parallelism at the SOURCE COUNT (20 here, a
+    handful in any real corpus) — at 100 TB that is 20 reducers each
+    sorting terabytes, the exact single-partition-window shape §2.5
+    warns about, and the one this engine's ``distributed_cumsum``
+    exists to remove: range-partition by (source, doc_id) — balanced at
+    any scale — per-partition running sums, constant-size per-(source,
+    partition) offsets folded back via a broadcast join. That shape
+    costs ~3 extra small stages (+0.5 s constant locally, measured
+    same-window), which dominates while a source's (doc_id, n_tokens)
+    slice fits one reducer comfortably — so, like the Jaccard index's
+    dfreq join and SIM.ivf_params, the plan is chosen from the corpus
+    row count (parquet-footer metadata read, no job): the window below
+    ``_PACK_CUMSUM_MIN_DOCS``, the cumsum above — and on an unprobeable
+    corpus the SCALE-SAFE cumsum (unlike the similarity switches, where
+    the fallback keeps the exact plan, here the small-corpus plan is
+    the unsafe one). Values are identical on both paths: n_tokens is
+    integral, the running sum is exact long arithmetic in both shapes,
+    and the bin_id expression on top is unchanged (re-proven against
+    the oracle at all three SFs)."""
+    from ..operators.similarity import corpus_row_count
+    from ..operators.stats import distributed_cumsum
+
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", "source", TX.token_count_col("text").cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.select(
+    n_docs = corpus_row_count(sf_dir, "documents")
+    if n_docs and n_docs <= _PACK_CUMSUM_MIN_DOCS:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = toks.withColumn("n_tokens_cum", F.sum("n_tokens").over(w))
+    else:
+        cum = distributed_cumsum(toks, ["source"], "doc_id", ["n_tokens"])
+    packed = cum.select(
         "source",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
+        F.floor(
+            (F.col("n_tokens_cum") - F.col("n_tokens")) / _PACK_BUDGET
+        )
         .cast("long")
         .alias("bin_id"),
     )
@@ -1931,6 +1969,13 @@ def text_entropy_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
 
+
+# pack_sequences_contiguous: docs above which the per-source window
+# gives way to distributed_cumsum (see the query docstring). 100k docs
+# of (doc_id, n_tokens) is ~2 MB per source-reducer at 20 sources —
+# far below any straggler/OOM concern — while every scale-rehearsal
+# decade (500k+ docs at 100×) exercises the scalable path.
+_PACK_CUMSUM_MIN_DOCS = 100_000
 
 _BPE_MERGES = 10
 

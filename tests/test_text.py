@@ -687,3 +687,27 @@ def test_text_features_inline_bit_equal_to_per_column(spark):
     g = {r.doc_id: tuple(r)[1:] for r in got.collect()}
     w = {r.doc_id: tuple(r)[1:] for r in want.collect()}
     assert g == w  # exact equality, not approx — the trees must match
+
+
+def test_pack_sequences_cumsum_path_equals_window_path(spark, monkeypatch):
+    """pack_sequences_contiguous picks its prefix-sum plan from the
+    corpus row count (round 10): per-source window below
+    _PACK_CUMSUM_MIN_DOCS, distributed_cumsum above (the window caps
+    parallelism at the source count — the §2.5 single-partition shape
+    at 100 TB). Both paths must produce IDENTICAL rows: n_tokens is
+    integral and the running sum is exact long arithmetic in both
+    shapes. Forcing the threshold to 0 exercises the cumsum path on the
+    same corpus the window path answered for."""
+    from big_data_imdb_classifier_spark.plans import queries_text as QT
+    from .conftest import SF_ORACLE
+
+    win = QT.pack_sequences_contiguous(spark, SF_ORACLE).collect()
+    monkeypatch.setattr(QT, "_PACK_CUMSUM_MIN_DOCS", 0)
+    cum = QT.pack_sequences_contiguous(spark, SF_ORACLE).collect()
+    assert [tuple(r) for r in win] == [tuple(r) for r in cum]
+    # and the forced plan really is the cumsum shape: the range
+    # repartition's _pid machinery joins offsets back broadcast-side
+    plan = QT.pack_sequences_contiguous(
+        spark, SF_ORACLE
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper() or "_pid" in plan

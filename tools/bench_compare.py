@@ -92,6 +92,16 @@ def main() -> None:
     pa_old, series_old = probe_at_factory(old) if calibrated else (None, False)
     pa_new, series_new = probe_at_factory(new) if calibrated else (None, False)
     use_series = calibrated and (series_old or series_new)
+    # Exact per-query stamps (r10+, VERDICT r9 task 3): a GC'd min-of-2
+    # probe taken immediately before each query's warm rep, and one per
+    # isolated re-timing. When a side carries the stamp for a query it
+    # beats any interpolation — it is the host speed that query actually
+    # ran under. Sides without stamps keep the series/boundary path.
+    stamp_old = old.get("probe_at", {})
+    stamp_new = new.get("probe_at", {})
+    iso_stamp_old = old.get("isolated_probe_at", {})
+    iso_stamp_new = new.get("isolated_probe_at", {})
+    use_stamps = calibrated and bool(stamp_old or stamp_new)
 
     movers = []
     total_o = total_n = 0.0
@@ -101,11 +111,20 @@ def main() -> None:
         t_n = iso_n[name] if both_iso else qn[name]
         total_o += qo[name]
         total_n += qn[name]
-        if use_series:
-            # isolated rows ran post-sweep -> END probe; sweep rows use
-            # the series reading nearest their sweep position
-            po = old["calibration_end_sec"] if both_iso else pa_old(name)
-            pn = new["calibration_end_sec"] if both_iso else pa_new(name)
+        if use_series or use_stamps:
+            # per-query stamp when the side has one; else isolated rows
+            # ran post-sweep -> END probe, sweep rows use the series
+            # reading nearest their sweep position
+            if both_iso:
+                po = iso_stamp_old.get(name) or old["calibration_end_sec"]
+                pn = iso_stamp_new.get(name) or new["calibration_end_sec"]
+            else:
+                po = stamp_old.get(name) or (
+                    pa_old(name) if series_old else p_old
+                )
+                pn = stamp_new.get(name) or (
+                    pa_new(name) if series_new else p_new
+                )
         else:
             po, pn = p_old, p_new
         norm = (t_n / pn) / max(t_o / po, 1e-9)
@@ -145,8 +164,10 @@ def main() -> None:
         "sweep_total_ratio_calibrated": round(
             (total_n / p_new) / max(total_o / p_old, 1e-9), 3
         ),
-        "normalization": "probe_series" if use_series else (
-            "probe_pair" if calibrated else "raw"
+        "normalization": "probe_stamps" if use_stamps else (
+            "probe_series" if use_series else (
+                "probe_pair" if calibrated else "raw"
+            )
         ),
         "flag": flag,
         # gated count: movers needing attribution (sub-second sweep
