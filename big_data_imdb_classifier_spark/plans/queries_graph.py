@@ -40,13 +40,21 @@ def _copurchase_pairs(li, directed: bool):
     per order under either formulation (bounded here: TPC-H orders hold
     ≤ 7 lineitems).
 
+    Round 10: the separate ``distinct()`` (one exchange keyed on
+    (order, part)) feeding a ``collect_list`` (a second exchange keyed
+    on order) is ONE ``collect_set`` aggregate — per-order dedup
+    happens inside the partial (map-side) set build, so the
+    (order, part) table crosses the wire once, not twice. Every
+    consumer is set-semantics (pair grid → groupBy count / distinct):
+    element order inside the array never reaches a result.
+
     ``directed=False`` keeps only src < dst (undirected edge, found
     once); ``directed=True`` emits both orientations."""
-    op = li.select("l_orderkey", "l_partkey").distinct()
     cmp_ = F.col("src") != F.col("dst") if directed else F.col("src") < F.col("dst")
     return (
-        op.groupBy("l_orderkey")
-        .agg(F.collect_list("l_partkey").alias("ps"))
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
         .select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))
         .where(cmp_)

@@ -1023,6 +1023,21 @@ def jaccard_prefix_index(
     return sh, idx
 
 
+def jaccard_verify_shingles(sh: DataFrame, cand_ids: DataFrame) -> DataFrame:
+    """Candidate-filtered shingle set for the Jaccard verify pass,
+    PRE-checkpoint. The query localCheckpoints this frame (so the
+    corpus shingle scan runs once, not once per verify side), after
+    which the LeftSemi reduction is invisible in the query's own plan —
+    plan probes assert the O(|candidate docs|) broadcast-semi shape
+    here, per the r9 checkpointed-subplan probe rule."""
+    ids = (
+        cand_ids.select(F.col("doc_a").alias("doc_id"))
+        .union(cand_ids.select("doc_b"))
+        .distinct()
+    )
+    return sh.join(F.broadcast(ids), "doc_id", "left_semi")
+
+
 @query(
     "dedup_ngram_jaccard_prefix",
     oracle=f"""
@@ -1086,11 +1101,6 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast only that reduced set. Broadcast size is O(|candidate
     # docs|), not O(|corpus|), so the verify stage survives a 100× corpus.
     cand_ids = cand.localCheckpoint(eager=False)
-    ids = (
-        cand_ids.select(F.col("doc_a").alias("doc_id"))
-        .union(cand_ids.select("doc_b"))
-        .distinct()
-    )
     # broadcast the tiny id list into the semi-join so the corpus-sized
     # shingle table is filtered in place, never shuffled — and
     # checkpoint the FILTERED set (small by design: only docs appearing
@@ -1101,10 +1111,9 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top of the index construction's own pass (r9 VERDICT task 1).
     # Checkpointing `sh` itself would also work but materializes a
     # corpus-sized intermediate; the candidate-filtered set is the
-    # O(|candidate docs|) piece the broadcasts need.
-    sv = sh.join(F.broadcast(ids), "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
+    # O(|candidate docs|) piece the broadcasts need
+    # (jaccard_verify_shingles — plan probes inspect it pre-checkpoint).
+    sv = jaccard_verify_shingles(sh, cand_ids).localCheckpoint(eager=False)
     sa = sv.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("_sa"))
     sb = sv.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("_sb"))
     cand = cand_ids
@@ -1935,7 +1944,17 @@ def text_entropy_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal q(t) is a second vocab-sized aggregate joined back on
     token; per-source totals and the grand total ride as broadcast
     scalars. KL is finite by construction — q(t) ≥ p_s(t)·Nₛ/N > 0
-    wherever p_s > 0 — so no epsilon guard is needed on either engine."""
+    wherever p_s > 0 — so no epsilon guard is needed on either engine.
+
+    Round 10 (r9 VERDICT task 8, guide §2.4 — operations keyed the same
+    way share one exchange): the aggregate is re-keyed onto ``token``
+    once (one vocab×sources-sized repartition), and BOTH token-keyed
+    consumers ride that partitioning — the corpus-marginal aggregate
+    q(t) plans with no exchange of its own, and the p⨝q join's c-side
+    exchange disappears. Net: the two token-keyed exchanges of c
+    collapse into one (A/B: rows identical, local wall −10%…flat at
+    equal probes; at scale one fewer full pass of the (source, token)
+    table over the wire)."""
     docs = _docs(spark, sf_dir)
     c = (
         TX.explode_no_refilter(
@@ -1945,6 +1964,7 @@ def text_entropy_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "token")
         .agg(F.count("*").cast("double").alias("n"))
+        .repartition("token")
     )
     s = c.groupBy("source").agg(F.sum("n").alias("ns"))
     tk = c.groupBy("token").agg(F.sum("n").alias("nt"))
