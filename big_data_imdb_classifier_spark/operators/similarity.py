@@ -166,6 +166,7 @@ def ivf_candidate_pairs(
     n_corpus: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: "np.ndarray | None" = None,
 ) -> DataFrame:
     """(query_id, neighbor_id) IVF cell-probe shortlist — the candidate
     enumeration stage shared by the auto-switched gates; the caller
@@ -173,9 +174,14 @@ def ivf_candidate_pairs(
     MaxSim) as the exact re-rank over these pairs. Index parameters
     scale with the corpus (√N cells, 40% probe — ivf_params), so the
     per-query candidate pool is ~n_probe/n_clusters of the corpus
-    instead of all of it."""
+    instead of all of it. ``sample``: see knn_ivf — skips this build's
+    sampling scan when the caller already collected the identical
+    default-limit strided sample."""
     n_clusters, n_probe, _ = ivf_params(n_corpus)
-    sample = strided_sample_vectors(vectors, id_col, vec_col, n_rows=n_corpus)
+    if sample is None:
+        sample = strided_sample_vectors(
+            vectors, id_col, vec_col, n_rows=n_corpus
+        )
     centers = lloyd_centers_deterministic(sample, n_clusters)
     corpus_cells = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -473,6 +479,8 @@ def knn_ivf(
     n_probe: int = 4,
     seed: int = 42,
     n_rows: int | None = None,
+    sample: np.ndarray | None = None,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next
     to hyperplane LSH: a DETERMINISTIC Lloyd coarse quantizer
@@ -489,27 +497,42 @@ def knn_ivf(
     in SQL, the WHOLE search hash-matches its DuckDB oracle — ``seed``
     is kept for signature compatibility and ignored. ``n_rows``: see
     strided_sample_vectors — skips the stride-sizing count job when the
-    caller already knows the corpus size.
+    caller already knows the corpus size. ``sample``: the caller's
+    already-collected strided sample (default limit, same corpus) —
+    skips this build's sampling scan when another index over the same
+    corpus collected the identical sample (round 10: the recall gate
+    builds IVF and IVF-PQ side by side; each sampling pass is a full
+    corpus scan at 100 TB). ``cand``: the caller's already-built
+    (query_id, neighbor_id) cell-probe shortlist (ivf_candidate_pairs
+    with the same corpus/params — identical to what this function
+    builds itself); passing the SAME DataFrame object to sibling
+    searches in one action lets runtime exchange reuse evaluate the
+    corpus cell-assign pass and the candidate distinct once instead of
+    once per search.
     """
-    sample = strided_sample_vectors(vectors, id_col, vec_col, n_rows=n_rows)
-    centers = lloyd_centers_deterministic(sample, n_clusters)
+    if cand is None:
+        if sample is None:
+            sample = strided_sample_vectors(
+                vectors, id_col, vec_col, n_rows=n_rows
+            )
+        centers = lloyd_centers_deterministic(sample, n_clusters)
 
-    corpus_cells = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        assign_cells_col(centers, vec_col).alias("cell"),
-    )
+        corpus_cells = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            assign_cells_col(centers, vec_col).alias("cell"),
+        )
 
-    q_cells = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(probe_cells_col(centers, n_probe, vec_col)).alias("cell"),
-    )
+        q_cells = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_cells_col(centers, n_probe, vec_col)).alias("cell"),
+        )
 
-    cand = (
-        q_cells.join(corpus_cells, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+        cand = (
+            q_cells.join(corpus_cells, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qe"))
     c = vectors.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_ce"))
     sims = (
@@ -761,6 +784,8 @@ def knn_ivf_pq(
     sample_limit: int = 10_000,
     seed: int = 42,
     n_rows: int | None = None,
+    sample: np.ndarray | None = None,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k: IVF coarse cells bound WHICH
     vectors are candidates; PQ codes bound what a candidate COSTS.
@@ -782,33 +807,40 @@ def knn_ivf_pq(
     # measured on the 10× rehearsal corpus, head-sampled codebooks
     # encode the unsampled half of the corpus as near-noise and ADC
     # floods the shortlist with it (recall@10 0.38 head vs ≥0.5
-    # strided). The same sample trains the PQ codebooks. ---
-    sample = strided_sample_vectors(
-        vectors, id_col, vec_col, sample_limit, n_rows=n_rows
-    )
-    centers = lloyd_centers_deterministic(sample, n_clusters)
+    # strided). The same sample trains the PQ codebooks. ``sample``:
+    # see knn_ivf — a caller that already collected the identical
+    # strided sample (same corpus, same limit) passes it in and this
+    # build skips its own sampling scan. ``cand``: see knn_ivf — the
+    # caller's shared cell-probe shortlist; the PQ codes join and
+    # everything after are unchanged, only the quantizer/assign/probe
+    # rebuild is skipped. ---
+    if sample is None:
+        sample = strided_sample_vectors(
+            vectors, id_col, vec_col, sample_limit, n_rows=n_rows
+        )
     books = pq_train_codebooks(sample, m=m, n_codes=n_codes, seed=seed)
 
-    corpus_cells = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        assign_cells_col(centers, vec_col).alias("cell"),
-    )
     codes = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         pq_encode_col(books, vec_col).alias("codes"),
     )
-
-    q_cells = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(probe_cells_col(centers, n_probe, vec_col)).alias("cell"),
-    )
-    cand = (
-        q_cells.join(corpus_cells, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-        .join(codes, "neighbor_id")
-    )
+    if cand is None:
+        centers = lloyd_centers_deterministic(sample, n_clusters)
+        corpus_cells = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            assign_cells_col(centers, vec_col).alias("cell"),
+        )
+        q_cells = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_cells_col(centers, n_probe, vec_col)).alias("cell"),
+        )
+        cand = (
+            q_cells.join(corpus_cells, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+    cand = cand.join(codes, "neighbor_id")
 
     # --- stage 1: ADC scoring over codes (query exact, candidate
     # reconstructed from its codebook entries) ---

@@ -297,11 +297,27 @@ def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count jobs too.
     n_corpus = SIM.corpus_row_count(sf_dir) or emb.count()
     n_clusters, n_probe, refine = SIM.ivf_params(n_corpus)
+    # ONE strided-sample collect and ONE cell-probe shortlist for both
+    # IVF-family searches (round 10): knn_ivf and knn_ivf_pq draw the
+    # IDENTICAL deterministic sample (same corpus, same default limit)
+    # and — because their quantizers train from that same sample with
+    # the same params — enumerate the IDENTICAL (query, neighbor)
+    # candidate set. Collecting the sample twice was a duplicated
+    # full-corpus scan per construction; building the shortlist twice
+    # was a duplicated corpus cell-assign Arrow pass + candidate
+    # distinct exchange at execution. Passing the SAME cand DataFrame
+    # object into both searches makes the two subtrees canonically
+    # identical, so runtime exchange reuse evaluates them once inside
+    # the single tagged-union action. Results are unchanged by
+    # construction — both searches re-rank the same pairs they each
+    # enumerated independently before.
+    sample = SIM.strided_sample_vectors(emb, n_rows=n_corpus)
+    cand = SIM.ivf_candidate_pairs(emb, queries, n_corpus, sample=sample)
     anns = {
         "lsh": SIM.knn_ann_hyperplane(emb, queries, k=TOP_K),
         "ivf": SIM.knn_ivf(
             emb, queries, k=TOP_K, n_clusters=n_clusters, n_probe=n_probe,
-            n_rows=n_corpus,
+            n_rows=n_corpus, sample=sample, cand=cand,
         ),
         "ivfpq": SIM.knn_ivf_pq(
             emb,
@@ -311,6 +327,8 @@ def knn_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_probe=n_probe,
             refine=refine,
             n_rows=n_corpus,
+            sample=sample,
+            cand=cand,
         ),
     }
     # ONE action for all four recall counts (round 9; formerly
