@@ -281,20 +281,41 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     same convergence loop as operators.graph.pagerank_until, with a
     localCheckpoint every few hops to truncate lineage."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
+    # Adjacency list, hash-partitioned by src, cached ONCE (round 10).
+    # The r9 shape cached a flat (src, dst) pair list `distinct()`-ed on
+    # the pair key; because each hop's frontier is a checkpointed RDD
+    # whose size estimate is inflated (LogicalRDD carries the
+    # pre-checkpoint join/distinct estimate), the planner refused to
+    # broadcast it and re-exchanged the WHOLE cached edge list by src
+    # on every hop — profiled at sf0.1 as a 22.95 MB edge-sized shuffle
+    # written (and read) per hop at hops 2 and 3
+    # (GRAPHPROFILE_r10.json, stages 97/115), violating this query's
+    # own design claim that per-hop shuffles are node-sized. Aggregating
+    # to (src, dsts) leaves the cache hash-partitioned on src — the hop
+    # join's distribution requirement — so EnsureRequirements plans
+    # every hop with ZERO exchange on the edge side regardless of what
+    # it thinks of the frontier's size; only (node) rows shuffle, at
+    # any scale. sortWithinPartitions("src") makes the cached side also
+    # satisfy a sort-merge join's ordering requirement, so no per-hop
+    # re-sort of the adjacency either. Same pair set by construction:
+    # collect_set dedups (src, dst) exactly as distinct() did, and
+    # every consumer is set-semantics (explode → distinct → anti-join).
+    adj = (
         _copurchase_pairs(li, directed=True)
-        .select("src", "dst")
-        .distinct()
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("dsts"))
+        .sortWithinPartitions("src")
         .persist()
     )
-    seed = edges.agg(F.min("src").alias("node"))
+    seed = adj.select(F.min("src").alias("node"))
     frontier = seed.withColumn("level", F.lit(0))
     visited = frontier.localCheckpoint(eager=True)
     for lvl in range(1, _BFS_MAX_LEVEL + 1):
         nxt = (
             visited.where(F.col("level") == lvl - 1)
-            .join(edges, F.col("node") == F.col("src"))
-            .select(F.col("dst").alias("node"))
+            .join(adj, F.col("node") == F.col("src"))
+            .select(F.explode("dsts").alias("_dst"))
+            .select(F.col("_dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("level", F.lit(lvl))
@@ -303,7 +324,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of re-deriving every earlier frontier (and bounds
         # lineage growth for deeper traversals).
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-    edges.unpersist()
+    adj.unpersist()
     return (
         visited.groupBy("level")
         .agg(

@@ -96,3 +96,57 @@ def test_pagerank_until_rejects_empty_edges(spark):
     empty = _edges_df(spark).where(F.lit(False))
     with pytest.raises(ValueError):
         pagerank_until(empty)
+
+
+def test_bfs_hop_join_reuses_adjacency_partitioning(spark):
+    """graph_bfs_levels (round 10): the cached adjacency list is
+    hash-partitioned on src by its groupBy, so a hop join against it
+    must plan ZERO exchange on the adjacency side — only the frontier
+    (node rows) shuffles. The r9 shape cached a flat pair list and the
+    planner re-exchanged the whole edge list by src on every hop
+    (GRAPHPROFILE_r10.json: a 22.95 MB edge shuffle written per hop at
+    sf0.1); this pins the fixed shape by counting Exchange nodes in the
+    hop-join plan: exactly one (the frontier side)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 4)], "src int, dst int"
+    )
+    # Force the sf0.1 decision shape: no broadcast fallback (at bench SF
+    # the frontier's checkpoint-inflated estimate blocks broadcast), no
+    # AQE wrapper (so the plan tree is walkable).
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    adj = (
+        pairs.groupBy("src")
+        .agg(F.collect_set("dst").alias("dsts"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    try:
+        adj.count()  # materialize the cache, as the seed job does
+        frontier = spark.createDataFrame([(1,)], "node int")
+        hop = adj.join(frontier, F.col("node") == F.col("src")).select(
+            F.explode("dsts").alias("node")
+        )
+        root = hop._jdf.queryExecution().executedPlan()
+
+        def nodes(n):
+            yield n
+            for i in range(n.children().size()):
+                yield from nodes(n.children().apply(i))
+
+        names = [n.getClass().getSimpleName() for n in nodes(root)]
+        assert "InMemoryTableScanExec" in names  # the cache is read
+        # Exactly one shuffle — the frontier side; the adjacency side's
+        # cached hash(src) partitioning satisfies the join distribution.
+        assert names.count("ShuffleExchangeExec") == 1, names
+    finally:
+        adj.unpersist()
+        for k, v in saved.items():
+            spark.conf.set(k, v)
